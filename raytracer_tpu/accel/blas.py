@@ -1,0 +1,162 @@
+"""Bottom-level acceleration structure: build + flatten + disk cache.
+
+The reference builds a per-mesh SBVH once, serializes it beside the asset as
+``<mesh>.obj.bvh`` (BottomLevelBVH.cpp:149-192), keeps a filename-keyed in-memory cache
+for instancing (BottomLevelBVH.cpp:16-22), and flattens triangles into leaf order to
+drop the index indirection (BottomLevelBVH.cpp:196-212).  We do the same with a
+content-hash-keyed npz cache: triangles are stored SoA as vertex-0 + edge vectors (hot)
+and normal/texcoord edges + local material id (cold), exactly the layout of
+TriangleHot/TriangleCold (BottomLevelBVH.h:6-22).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+
+import numpy as np
+
+from ..config import MeshAccelerator
+from ..scene.meshgen import MeshData
+from .bvh import BVH, build_bvh, triangle_bounds
+
+_BUILDER_VERSION = 3  # bump to invalidate cached BVHs
+
+
+@dataclasses.dataclass
+class Blas:
+    """Flattened per-mesh accelerator, ready for concatenation into the device scene."""
+
+    node_min: np.ndarray  # [M,3]
+    node_max: np.ndarray
+    node_left: np.ndarray  # [M] left child (internal) / first triangle (leaf)
+    node_count: np.ndarray  # [M] 0 internal / triangle count leaf
+    node_axis: np.ndarray  # [M]
+    # leaf-ordered triangle SoA (hot: BottomLevelBVH.h:6-10)
+    tri_p0: np.ndarray  # [T,3]
+    tri_e1: np.ndarray  # [T,3] p1 - p0
+    tri_e2: np.ndarray  # [T,3] p2 - p0
+    # cold attributes (BottomLevelBVH.h:12-22)
+    tri_n0: np.ndarray
+    tri_ne1: np.ndarray
+    tri_ne2: np.ndarray
+    tri_t0: np.ndarray  # [T,2]
+    tri_te1: np.ndarray
+    tri_te2: np.ndarray
+    tri_material: np.ndarray  # [T] local material id
+    materials: list  # local material table (not cached; reattached by caller)
+    source_triangle_count: int = 0
+
+    @property
+    def triangle_count(self) -> int:
+        return self.tri_p0.shape[0]
+
+    @property
+    def root_aabb(self) -> np.ndarray:
+        return np.stack([self.node_min[0], self.node_max[0]]).astype(np.float64)
+
+
+_blas_memory_cache: dict = {}
+
+
+def clear_cache() -> None:
+    _blas_memory_cache.clear()
+
+
+def _mesh_hash(mesh: MeshData, accelerator: MeshAccelerator) -> str:
+    h = hashlib.sha256()
+    h.update(f"v{_BUILDER_VERSION}/{int(accelerator)}".encode())
+    for f in ("p0", "p1", "p2"):
+        h.update(np.ascontiguousarray(getattr(mesh, f)).tobytes())
+    h.update(np.ascontiguousarray(mesh.material_id).tobytes())
+    return h.hexdigest()[:24]
+
+
+def build_blas(
+    mesh: MeshData,
+    accelerator: MeshAccelerator = MeshAccelerator.SBVH,
+    cache_dir: str | None = ".cache/bvh",
+    verbose: bool = False,
+) -> Blas:
+    """Build (or load from cache) the accelerator for a triangle mesh."""
+    key = _mesh_hash(mesh, accelerator)
+    if key in _blas_memory_cache:
+        blas = _blas_memory_cache[key]
+        return dataclasses.replace(blas, materials=mesh.materials)
+
+    cache_path = os.path.join(cache_dir, key + ".npz") if cache_dir else None
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        blas = Blas(**{k: data[k] for k in data.files if k != "source_triangle_count"},
+                    materials=mesh.materials,
+                    source_triangle_count=int(data["source_triangle_count"]))
+        _blas_memory_cache[key] = blas
+        return blas
+
+    import time
+
+    t0 = time.time()
+    if accelerator == MeshAccelerator.SBVH:
+        bvh, order = _build_sbvh(mesh)
+    else:
+        bvh = _build_plain(mesh)
+        order = bvh.prim_order
+    if verbose:
+        print(
+            f"Mesh {'S' if accelerator == MeshAccelerator.SBVH else ''}BVH construction: "
+            f"{mesh.triangle_count} tris -> {len(order)} refs, "
+            f"{(time.time() - t0) * 1e3:.1f} ms"
+        )
+
+    # flatten(): copy triangles into leaf order, dropping the index indirection
+    # (BottomLevelBVH.cpp:196-212); SBVH reference duplication falls out naturally.
+    p0 = mesh.p0[order]
+    blas = Blas(
+        node_min=bvh.node_min,
+        node_max=bvh.node_max,
+        node_left=bvh.node_left,
+        node_count=bvh.node_count,
+        node_axis=bvh.node_axis,
+        tri_p0=p0,
+        tri_e1=mesh.p1[order] - p0,
+        tri_e2=mesh.p2[order] - p0,
+        tri_n0=mesh.n0[order],
+        tri_ne1=mesh.n1[order] - mesh.n0[order],
+        tri_ne2=mesh.n2[order] - mesh.n0[order],
+        tri_t0=mesh.t0[order],
+        tri_te1=mesh.t1[order] - mesh.t0[order],
+        tri_te2=mesh.t2[order] - mesh.t0[order],
+        tri_material=mesh.material_id[order].astype(np.int32),
+        materials=mesh.materials,
+        source_triangle_count=mesh.triangle_count,
+    )
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(
+            cache_path,
+            **{
+                f.name: getattr(blas, f.name)
+                for f in dataclasses.fields(Blas)
+                if f.name != "materials"
+            },
+        )
+    _blas_memory_cache[key] = blas
+    return blas
+
+
+def _build_plain(mesh: MeshData) -> BVH:
+    mins, maxs, cents = triangle_bounds(
+        mesh.p0.astype(np.float64), mesh.p1.astype(np.float64), mesh.p2.astype(np.float64)
+    )
+    return build_bvh(mins, maxs, cents)
+
+
+def _build_sbvh(mesh: MeshData):
+    """Spatial-split BVH (sbvh.py); falls back to plain SAH via build_bvh on failure."""
+    from .sbvh import build_sbvh
+
+    bvh = build_sbvh(
+        mesh.p0.astype(np.float64), mesh.p1.astype(np.float64), mesh.p2.astype(np.float64)
+    )
+    return bvh, bvh.prim_order

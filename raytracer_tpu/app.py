@@ -1,0 +1,96 @@
+"""Headless frame-loop application (the Main.cpp analog).
+
+The reference's game loop (Main.cpp:51-118) is: scene.update(dt) -> wake workers over
+tiles -> barrier -> blit + FXAA -> timing + MRays/s panel -> swap.  Ours: host-side
+animation + per-frame TLAS rebuild -> jit wavefront render (tiles == shards/chunks) ->
+optional FXAA post pass -> PNG frames + metrics to stdout.
+
+Usage:  python -m raytracer_tpu.app --scene config4 --frames 10 --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU Whitted ray tracer")
+    ap.add_argument("--scene", default="config0", help="config0..config4")
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--dt", type=float, default=1.0 / 60.0)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--bounces", type=int, default=None)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--fxaa", action="store_true")
+    ap.add_argument("--heatmap", action="store_true",
+                    help="BVH traversal-step heatmap render (Config.h:23)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from .render import renderer
+    from .scene import scenes
+    from .scene.device import ScenePacker
+    from .utils import image as image_util
+    from .utils.stats import mrays_per_second
+    from .utils.timer import FrameTimer, ScopeTimer
+
+    desc, cfg = scenes.make_scene(args.scene)
+    if args.width:
+        cfg = cfg.replace(width=args.width)
+    if args.height:
+        cfg = cfg.replace(height=args.height)
+    if args.bounces is not None:
+        cfg = cfg.replace(num_bounces=args.bounces)
+    cfg = cfg.replace(enable_fxaa=args.fxaa, visualize_heatmap=args.heatmap)
+
+    with ScopeTimer("Scene build"):
+        packer = ScenePacker(desc, cfg.width, cfg.height)
+    print(f"Scene contains {desc.triangle_count} triangles.")
+
+    render = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
+    present = jax.jit(lambda img: renderer.present(img, cfg))
+
+    os.makedirs(args.out, exist_ok=True)
+    timer = FrameTimer()
+    for frame in range(args.frames):
+        desc.update(args.dt)
+        scene = packer.frame()
+        img, stats = render(scene)
+        shown = present(img)
+        jax.block_until_ready(shown)
+        delta = timer.tick()
+
+        metrics = mrays_per_second(stats, delta)
+        print(
+            json.dumps(
+                {
+                    "frame": frame,
+                    "ms": round(delta * 1e3, 2),
+                    "fps_avg": round(timer.fps, 2),
+                    **{k: round(v, 2) if isinstance(v, float) else v
+                       for k, v in metrics.items()},
+                }
+            )
+        )
+        path = os.path.join(args.out, f"frame_{frame:04d}.png")
+        image_util.save_png(path, np.asarray(img))
+    # final frame also saved presented (gamma/FXAA applied)
+    image_util.save_png(
+        os.path.join(args.out, "final_presented.png"), np.asarray(shown), gamma=False
+    )
+    print(f"Wrote {args.frames} frame(s) to {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

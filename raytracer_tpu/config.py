@@ -1,0 +1,119 @@
+"""Runtime configuration for the TPU ray tracer.
+
+The reference keeps every knob as a compile-time ``#define`` in Config.h:1-56 so that
+MSVC specializes the whole program per configuration.  The TPU-native equivalent is a
+frozen (hashable) dataclass passed to ``jax.jit`` as a *static* argument: XLA traces and
+compiles one program per distinct config, giving the same whole-program specialization
+semantics.
+
+Reference: /root/reference/Config.h:1-56
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class TextureSampleMode(enum.IntEnum):
+    """Reference: Config.h:38-42 (TEXTURE_SAMPLE_MODE_*)."""
+
+    NEAREST = 0
+    BILINEAR = 1
+    MIPMAP = 2
+
+
+class MipmapFilter(enum.IntEnum):
+    """Reference: Config.h:48-53 (MIPMAP_FILTER_*)."""
+
+    TRILINEAR = 0
+    ANISOTROPIC = 1
+    EWA = 2
+
+
+class TraversalStrategy(enum.IntEnum):
+    """Reference: Config.h:27-30 (BVH_TRAVERSE_TREE_*)."""
+
+    NAIVE = 0
+    ORDERED = 1
+
+
+class MeshAccelerator(enum.IntEnum):
+    """Reference: Config.h:32-35 (MESH_ACCELERATOR_*)."""
+
+    BVH = 0
+    SBVH = 1
+
+
+# The reference offsets every secondary/shadow ray by this epsilon and uses it as the
+# near bound of every intersection test (Ray.h:5 ``EPSILON = 0.005f``).
+RAY_EPSILON = 0.005
+
+# Scene-wide constant ambient term (Scene.h:35 ``ambient_lighting = Vector3(0.2f)``).
+AMBIENT_LIGHTING = 0.2
+
+# Blinn-Phong specular exponent (Light.h:23 ``Math::pow2<128>(specular_factor)``).
+SPECULAR_EXPONENT = 128
+
+# Air IOR (Material.h:24 ``air_index_of_refraction = 1.0f``).
+AIR_IOR = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (jit-static; hashable).
+
+    Mirrors Config.h knob-for-knob, plus the wavefront-specific knobs that replace the
+    reference's packet/tile machinery (SIMD_LANE_SIZE, tile sizes).
+    """
+
+    # Render settings (Config.h:8-12)
+    width: int = 900
+    height: int = 600
+    num_bounces: int = 3  # bounces AFTER the primary ray (Config.h:12)
+
+    # Texture pipeline (Config.h:38-56)
+    texture_sample_mode: TextureSampleMode = TextureSampleMode.MIPMAP
+    mipmap_filter: MipmapFilter = MipmapFilter.ANISOTROPIC
+    max_anisotropy: float = 8.0
+    # Bounded formulation of EWA's data-dependent ellipse scan (Texture.cpp:302-334):
+    # the scan window is statically capped at ewa_max_span x ewa_max_span texels.
+    ewa_max_span: int = 16
+
+    # BVH settings (Config.h:22-35)
+    visualize_heatmap: bool = False
+    traversal_stack_size: int = 64  # BVH_TRAVERSAL_STACK_SIZE (Config.h:25)
+    traversal_strategy: TraversalStrategy = TraversalStrategy.ORDERED
+    mesh_accelerator: MeshAccelerator = MeshAccelerator.SBVH
+    # Our builders guarantee leaves of at most this many primitives so the wavefront
+    # traversal can unroll leaf iteration statically.
+    max_leaf_size: int = 4
+
+    # Rays per traversal chunk: bounds the stack memory of the wavefront traversal
+    # (the analog of the reference's 32x32 tile decomposition, Window.h:32-33).
+    traversal_chunk: int = 1 << 17
+
+    # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
+    # Capacity of each secondary-ray generation as a fraction of the primary count.
+    # A surface can spawn both a reflection and a refraction ray (Raytracer.cpp:249-316),
+    # so 2.0 is lossless; smaller trades a bounded amount of energy for memory.
+    queue_factor: float = 2.0
+
+    # Post-processing (Config.h:20)
+    enable_fxaa: bool = False
+
+    # Differentiability: carry ray differentials (mip LOD) only when mipmapping,
+    # mirroring RAY_DIFFERENTIALS_ENABLED (Config.h:46).
+    @property
+    def ray_differentials_enabled(self) -> bool:
+        return self.texture_sample_mode == TextureSampleMode.MIPMAP
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,271 @@
+"""Differentiable texture filtering over the flat mip atlas.
+
+Reference: /root/reference/Texture.cpp — nearest (149-155), bilinear (157-186),
+trilinear (PBRT 10.4; 189-204), anisotropic (OpenGL EXT spec; 207-239), and EWA
+(242-337).  The reference's per-lane scalar ``fetch_texel`` gathers become batched
+``jnp.take`` over the atlas; every lane carries its own texture id, so one call
+filters the whole wavefront across all textures at once.
+
+EWA's data-dependent ellipse-bbox scan (Texture.cpp:302-334) is re-expressed as a
+statically bounded window scan (config.ewa_max_span^2 taps, masked), since jit
+requires static loop bounds; taps outside the window are dropped.
+
+All filters are differentiable w.r.t. atlas texel values and (for bilinear-derived
+filters) the sample coordinates.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import MipmapFilter, RenderConfig, TextureSampleMode
+from ..core.vecmath import safe_sqrt as _safe_sqrt
+
+_EWA_ALPHA = 2.0
+_EWA_TABLE_SIZE = 128  # Texture.h:52-62
+
+
+def _fetch_texel(tex, tex_id, x, y, level):
+    """Wrap-around texel fetch (Texture.cpp:131-147). x, y, level, tex_id: [N] int32."""
+    data, width, height, levels, offsets = tex
+    w = jnp.maximum(width[tex_id] >> level, 1)
+    h = jnp.maximum(height[tex_id] >> level, 1)
+    x = jnp.mod(x, w)  # positive mod (Math.h:44-52)
+    y = jnp.mod(y, h)
+    idx = offsets[tex_id, level] + x + y * w
+    return jnp.take(data, idx, axis=0)
+
+
+def _sample_nearest(tex, tex_id, s, t):
+    """Texture.cpp:149-155."""
+    _, width, height, _, _ = tex
+    wf = width[tex_id].astype(jnp.float32)
+    hf = height[tex_id].astype(jnp.float32)
+    x = jnp.round(s * wf).astype(jnp.int32)
+    y = jnp.round(t * hf).astype(jnp.int32)
+    zero = jnp.zeros_like(x)
+    return _fetch_texel(tex, tex_id, x, y, zero)
+
+
+def _sample_bilinear(tex, tex_id, s, t, level):
+    """Texture.cpp:157-186. level: [N] int32."""
+    _, width, height, _, _ = tex
+    lw = jnp.maximum(width[tex_id] >> level, 1).astype(jnp.float32)
+    lh = jnp.maximum(height[tex_id] >> level, 1).astype(jnp.float32)
+    ss = s * lw - 0.5
+    tt = t * lh - 0.5
+    fs = ss - jnp.floor(ss)
+    ft = tt - jnp.floor(tt)
+    w0 = (1.0 - fs) * (1.0 - ft)
+    w1 = fs * (1.0 - ft)
+    w2 = (1.0 - fs) * ft
+    w3 = 1.0 - w0 - w1 - w2
+    x0 = jnp.floor(ss).astype(jnp.int32)
+    y0 = jnp.floor(tt).astype(jnp.int32)
+    return (
+        w0[:, None] * _fetch_texel(tex, tex_id, x0, y0, level)
+        + w1[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0, level)
+        + w2[:, None] * _fetch_texel(tex, tex_id, x0, y0 + 1, level)
+        + w3[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0 + 1, level)
+    )
+
+
+def _top_texel(tex, tex_id):
+    """fetch_texel(0, 0, last_mip): the 1x1 coarsest level."""
+    _, _, _, levels, _ = tex
+    zero = jnp.zeros_like(tex_id)
+    return _fetch_texel(tex, tex_id, zero, zero, levels[tex_id] - 1)
+
+
+def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy):
+    """PBRT-style trilinear LOD from the max abs derivative (Texture.cpp:189-204)."""
+    _, _, _, levels, _ = tex
+    lf = levels[tex_id].astype(jnp.float32)
+    width = 2.0 * jnp.maximum(
+        jnp.maximum(jnp.abs(ds_dx), jnp.abs(ds_dy)),
+        jnp.maximum(jnp.abs(dt_dx), jnp.abs(dt_dy)),
+    )
+    lam = lf - 1.0 + jnp.log2(jnp.maximum(width, 1e-8))
+    level = jnp.floor(lam).astype(jnp.int32)
+
+    lo = jnp.clip(level, 0, levels[tex_id] - 1)
+    hi = jnp.clip(level + 1, 0, levels[tex_id] - 1)
+    f = (lam - jnp.floor(lam))[:, None]
+    mixed = (1.0 - f) * _sample_bilinear(tex, tex_id, s, t, lo) + f * _sample_bilinear(
+        tex, tex_id, s, t, hi
+    )
+    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    top = _top_texel(tex, tex_id)
+    out = jnp.where((level < 0)[:, None], base, mixed)
+    out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
+    return out
+
+
+def _sample_anisotropic(
+    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, max_anisotropy: float
+):
+    """OpenGL-EXT-style anisotropic filtering (Texture.cpp:207-239): up to N probes
+    along the major axis at a sharper mip level, statically unrolled and masked."""
+    _, _, _, levels, _ = tex
+    lf = levels[tex_id].astype(jnp.float32)
+    p_x = jnp.maximum(jnp.abs(ds_dx), jnp.abs(dt_dx))
+    p_y = jnp.maximum(jnp.abs(ds_dy), jnp.abs(dt_dy))
+    p_min = jnp.minimum(p_x, p_y)
+    p_max = jnp.maximum(p_x, p_y)
+
+    n = jnp.minimum(jnp.ceil(p_max / jnp.maximum(p_min, 1e-20)), max_anisotropy)
+    n = jnp.maximum(n, 1.0)
+    lam = lf - 1.0 + jnp.log2(jnp.maximum(p_max / n, 1e-20))
+    level = jnp.round(lam).astype(jnp.int32)  # Util::float_to_int rounds to nearest
+    level_c = jnp.clip(level, 0, levels[tex_id] - 1)
+
+    x_major = p_x > p_y
+    step_s = jnp.where(x_major, ds_dx, ds_dy)
+    step_t = jnp.where(x_major, dt_dx, dt_dy)
+    inv_np1 = 1.0 / (n + 1.0)
+
+    acc = jnp.zeros((s.shape[0], 3), s.dtype)
+    max_taps = int(max_anisotropy)
+    for i in range(1, max_taps + 1):
+        fi = jnp.float32(i)
+        use = fi <= n + 0.001
+        x = s + step_s * (fi * inv_np1 - 0.5)
+        y = t + step_t * (fi * inv_np1 - 0.5)
+        tap = _sample_bilinear(tex, tex_id, x, y, level_c)
+        acc = acc + jnp.where(use[:, None], tap, 0.0)
+    aniso = acc / n[:, None]
+
+    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    top = _top_texel(tex, tex_id)
+    out = jnp.where((level < 0)[:, None], base, aniso)
+    out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
+    return out
+
+
+def _ewa_weight(r2):
+    """Quantized gaussian falloff, identical to the reference's 128-entry table
+    (Texture.h:53-62)."""
+    idx = jnp.minimum(jnp.floor(r2 * _EWA_TABLE_SIZE), _EWA_TABLE_SIZE - 1)
+    r2q = idx / (_EWA_TABLE_SIZE - 1)
+    return jnp.exp(-_EWA_ALPHA * r2q) - jnp.exp(-_EWA_ALPHA)
+
+
+def _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig):
+    """Elliptical weighted average (Texture.cpp:242-337), bounded-window form."""
+    _, width, height, levels, _ = tex
+    lf = levels[tex_id].astype(jnp.float32)
+    wf = width[tex_id].astype(jnp.float32)
+    hf = height[tex_id].astype(jnp.float32)
+
+    maj_x, maj_y = ds_dx, dt_dx
+    min_x, min_y = ds_dy, dt_dy
+    maj_len = _safe_sqrt(maj_x * maj_x + maj_y * maj_y)
+    min_len = _safe_sqrt(min_x * min_x + min_y * min_y)
+    swap = min_len > maj_len
+    maj_x, min_x = jnp.where(swap, min_x, maj_x), jnp.where(swap, maj_x, min_x)
+    maj_y, min_y = jnp.where(swap, min_y, maj_y), jnp.where(swap, maj_y, min_y)
+    maj_len, min_len = (
+        jnp.where(swap, min_len, maj_len),
+        jnp.where(swap, maj_len, min_len),
+    )
+
+    degenerate = min_len < 1e-5
+    too_big = maj_len > wf
+
+    # eccentricity clamp (Texture.cpp:262-268)
+    scale = maj_len / jnp.maximum(min_len * cfg.max_anisotropy, 1e-20)
+    need = min_len * cfg.max_anisotropy < maj_len
+    min_x = jnp.where(need, min_x * scale, min_x)
+    min_y = jnp.where(need, min_y * scale, min_y)
+    min_len = jnp.where(need, min_len * scale, min_len)
+
+    lam = jnp.maximum(0.0, lf - 1.0 + jnp.log2(jnp.maximum(min_len, 1e-20)))
+    level = jnp.round(lam).astype(jnp.int32)
+    at_top = level >= levels[tex_id] - 1
+    level_c = jnp.clip(level, 0, levels[tex_id] - 1)
+
+    lw = jnp.maximum(width[tex_id] >> level_c, 1).astype(jnp.float32)
+    lh = jnp.maximum(height[tex_id] >> level_c, 1).astype(jnp.float32)
+    ss = s * lw - 0.5
+    tt = t * lh - 0.5
+    majx = maj_x * lw
+    majy = maj_y * lh
+    minx = min_x * lw
+    miny = min_y * lh
+
+    a = 1.0 + (majy * majy + miny * miny)
+    b = -2.0 * (majx * majy + minx * miny)
+    c = 1.0 + (majx * majx + minx * minx)
+    inv_f = 1.0 / (a * c - b * b * 0.25)
+    a, b, c = a * inv_f, b * inv_f, c * inv_f
+
+    det = -b * b + 4.0 * a * c
+    sqrt_u = _safe_sqrt(det * c)
+    sqrt_v = _safe_sqrt(det * a)
+    two_inv_det = 2.0 / det
+    # Util::float_to_int rounds to nearest: round(x) == floor(x + 0.5)
+    s0 = jnp.floor(ss - two_inv_det * sqrt_u + 1.0).astype(jnp.int32)
+    s1 = jnp.floor(ss + two_inv_det * sqrt_u).astype(jnp.int32)
+    t0 = jnp.floor(tt - two_inv_det * sqrt_v + 1.0).astype(jnp.int32)
+    t1 = jnp.floor(tt + two_inv_det * sqrt_v).astype(jnp.int32)
+
+    span = cfg.ewa_max_span
+    acc = jnp.zeros((s.shape[0], 3), s.dtype)
+    wsum = jnp.zeros_like(s)
+    for dj in range(span):
+        tj = t0 + dj
+        for di in range(span):
+            si = s0 + di
+            in_box = (si <= s1) & (tj <= t1)
+            uu = si.astype(jnp.float32) - ss
+            vv = tj.astype(jnp.float32) - tt
+            r2 = a * uu * uu + b * uu * vv + c * vv * vv
+            inside = in_box & (r2 < 1.0)
+            wgt = jnp.where(inside, _ewa_weight(r2), 0.0)
+            texel = _fetch_texel(tex, tex_id, si, tj, level_c)
+            acc = acc + wgt[:, None] * texel
+            wsum = wsum + wgt
+    ewa = acc / jnp.maximum(wsum, 1e-20)[:, None]
+
+    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    top = _top_texel(tex, tex_id)
+    out = jnp.where(degenerate[:, None], bil, ewa)
+    out = jnp.where((too_big | at_top)[:, None], top, out)
+    return out
+
+
+def sample(
+    tex,
+    tex_id,
+    s,
+    t,
+    ds_dx,
+    ds_dy,
+    dt_dx,
+    dt_dy,
+    cfg: RenderConfig,
+):
+    """Config-dispatched texture sample for a wavefront (Texture.h:33-49).
+
+    tex: (data [X,3], width [K], height [K], levels [K], offsets [K,16]).
+    tex_id: [N] int32 per-lane atlas ids (0 = none -> white).
+    """
+    mode = cfg.texture_sample_mode
+    if mode == TextureSampleMode.NEAREST:
+        return _sample_nearest(tex, tex_id, s, t)
+    if mode == TextureSampleMode.BILINEAR:
+        return _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id))
+
+    # MIPMAP: non-mipmapped textures (levels == 1) fall back to bilinear
+    # (Texture.h:37).
+    _, _, _, levels, _ = tex
+    if cfg.mipmap_filter == MipmapFilter.TRILINEAR:
+        mip = _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy)
+    elif cfg.mipmap_filter == MipmapFilter.ANISOTROPIC:
+        mip = _sample_anisotropic(
+            tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg.max_anisotropy
+        )
+    else:
+        mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg)
+    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id))
+    return jnp.where((levels[tex_id] > 1)[:, None], mip, bil)

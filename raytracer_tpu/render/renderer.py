@@ -1,0 +1,584 @@
+"""Wavefront Whitted renderer.
+
+The reference renders with a recursive per-packet ``bounce`` (Raytracer.cpp:87-400)
+over 8-wide AVX2 lanes, scheduled as 32x32 tiles over pinned worker threads.  The
+TPU-native shape is an **iterative bounce queue over the whole frame**: every
+generation traces one wavefront of rays (primary = one ray per pixel), shades it,
+scatter-adds its contribution into the framebuffer weighted by the throughput
+accumulated along its ancestry, and compacts the surviving reflection/refraction
+children into the next generation's fixed-capacity queue.  The recursion's
+post-multiplications (material reflection colour, Fresnel weights, Beer's law) are
+re-associated into per-ray throughput state:
+
+  - ``weight`` [N,3]: product of ancestor coefficients (reflection colour, F_r/F_t)
+  - ``sigma``  [N,3]: Beer absorption (transmittance - 1) of the medium this ray
+    travels through; applied as exp(sigma * t_hit) at the ray's own hit — exactly
+    the reference's ``colour_refraction * exp((trans-1) * refraction_distance)``
+    (Raytracer.cpp:348-376) evaluated one level down.
+
+Faithfulness notes (vs Raytracer.cpp:204-396):
+  - a material with both reflection and transmittance adds its reflection subtree
+    twice (once raw + once Fresnel-weighted), matching the reference exactly;
+  - on a refracted miss the reference multiplies the sky by exp(sigma * inf); we
+    clamp the Beer distance to 1e8, which matches for transmittance < 1 and avoids
+    the reference's NaN when transmittance == 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AIR_IOR, RenderConfig
+from ..core import vecmath as vm
+from ..ops import intersect, sky_sample, texture_sample, traversal
+from ..ops.intersect import Hits, Rays
+from . import shading
+
+_BEER_DIST_CLAMP = 1.0e8
+
+
+class RenderStats(NamedTuple):
+    """Per-category ray counters (PerformanceStats, Raytracer.h:4-9), counted per
+    active lane (the reference counts packets x lane width)."""
+
+    num_primary: jnp.ndarray
+    num_shadow: jnp.ndarray
+    num_reflection: jnp.ndarray
+    num_refraction: jnp.ndarray
+    num_dropped: jnp.ndarray  # queue-capacity overflow (no reference analog)
+
+
+# ---------------------------------------------------------------------------
+# Primary rays
+# ---------------------------------------------------------------------------
+
+
+def primary_rays_for(scene, cfg: RenderConfig, pixel_idx) -> Rays:
+    """Camera rays + closed-form direction differentials (Raytracer.cpp:34-59) for an
+    arbitrary batch of global pixel indices (row-major).  Taking indices rather than a
+    fixed grid lets the caller shard or permute pixels across devices."""
+    i = (pixel_idx % cfg.width).astype(jnp.float32)
+    j = (pixel_idx // cfg.width).astype(jnp.float32)
+    direction = (
+        scene.cam_x[None, :] * i[:, None]
+        + scene.cam_y[None, :] * j[:, None]
+        + scene.cam_top_left[None, :]
+    )
+    d_dot_d = vm.dot(direction, direction)
+    inv_len = jax.lax.rsqrt(d_dot_d)
+    denom = (inv_len / d_dot_d)[:, None]  # d_dot_d^-3/2
+
+    dD_dx = (
+        d_dot_d[:, None] * scene.cam_x[None, :]
+        - vm.dot(direction, jnp.broadcast_to(scene.cam_x, direction.shape))[:, None]
+        * direction
+    ) * denom
+    dD_dy = (
+        d_dot_d[:, None] * scene.cam_y[None, :]
+        - vm.dot(direction, jnp.broadcast_to(scene.cam_y, direction.shape))[:, None]
+        * direction
+    ) * denom
+
+    n = pixel_idx.shape[0]
+    origin = jnp.broadcast_to(scene.cam_pos, (n, 3))
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    return Rays(
+        origin=origin,
+        direction=direction * inv_len[:, None],
+        dO_dx=zeros,
+        dO_dy=zeros,
+        dD_dx=dD_dx,
+        dD_dy=dD_dy,
+    )
+
+
+def generate_primary_rays(scene, cfg: RenderConfig) -> Rays:
+    """Full-frame primary rays in row-major order."""
+    return primary_rays_for(
+        scene, cfg, jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene intersection (Scene::trace_primitives / intersect_primitives)
+# ---------------------------------------------------------------------------
+
+
+def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -> Hits:
+    """Reconstruct differentiable hit attributes from discrete traversal ids.
+
+    Re-derives (t, u, v) with Moller-Trumbore from the identified triangle so
+    gradients flow to vertices/instance transforms/ray, then evaluates the hit
+    attribute + Ray Tracing Gems ch.20 differential formulas
+    (BottomLevelBVH.cpp:260-305).
+    """
+    valid = res.tri >= 0
+    ti = jnp.maximum(res.tri, 0)
+    ii = jnp.maximum(res.inst, 0)
+
+    inv = jnp.take(scene.inst_inv, ii, axis=0)  # [N,3,4]
+    world = jnp.take(scene.inst_world, ii, axis=0)
+
+    def xp(m, p):
+        return jnp.einsum("nij,nj->ni", m[:, :, :3], p) + m[:, :, 3]
+
+    def xd(m, d):
+        return jnp.einsum("nij,nj->ni", m[:, :, :3], d)
+
+    o_obj = xp(inv, rays.origin)
+    d_obj = xd(inv, rays.direction)
+
+    p0 = jnp.take(scene.tr_p0, ti, axis=0)
+    e1 = jnp.take(scene.tr_e1, ti, axis=0)
+    e2 = jnp.take(scene.tr_e2, ti, axis=0)
+
+    # differentiable re-derivation of (t, u, v) for the known triangle
+    hmt = jnp.cross(d_obj, e2)
+    a = vm.dot(e1, hmt)
+    f = 1.0 / intersect._nonzero(a)
+    s = o_obj - p0
+    u = f * vm.dot(s, hmt)
+    q = jnp.cross(s, e1)
+    v = f * vm.dot(d_obj, q)
+    t = f * vm.dot(e2, q)
+
+    point = rays.origin + t[:, None] * rays.direction
+
+    n0 = jnp.take(scene.tr_n0, ti, axis=0)
+    ne1 = jnp.take(scene.tr_ne1, ti, axis=0)
+    ne2 = jnp.take(scene.tr_ne2, ti, axis=0)
+    n_raw = n0 + u[:, None] * ne1 + v[:, None] * ne2
+    normal = xd(world, vm.normalize(n_raw, eps=1e-20))
+
+    t0 = jnp.take(scene.tr_t0, ti, axis=0)
+    te1 = jnp.take(scene.tr_te1, ti, axis=0)
+    te2 = jnp.take(scene.tr_te2, ti, axis=0)
+    uv = t0 + u[:, None] * te1 + v[:, None] * te2
+
+    material = jnp.take(scene.tr_material, ti, axis=0)
+
+    # Ray Tracing Gems ch.20 differentials (BottomLevelBVH.cpp:275-305), in object
+    # space; vector-valued outputs rotated to world (rigid transforms).
+    dO_dx_o = xd(inv, rays.dO_dx)
+    dO_dy_o = xd(inv, rays.dO_dy)
+    dD_dx_o = xd(inv, rays.dD_dx)
+    dD_dy_o = xd(inv, rays.dD_dy)
+    one_over_k = 1.0 / intersect._nonzero(vm.dot(jnp.cross(e1, e2), d_obj))
+    qx = dO_dx_o + t[:, None] * dD_dx_o
+    qy = dO_dy_o + t[:, None] * dD_dy_o
+    c_u = jnp.cross(e2, d_obj)
+    c_v = jnp.cross(d_obj, e1)
+    du_dx = one_over_k * vm.dot(c_u, qx)
+    du_dy = one_over_k * vm.dot(c_u, qy)
+    dv_dx = one_over_k * vm.dot(c_v, qx)
+    dv_dy = one_over_k * vm.dot(c_v, qy)
+
+    dP_dx = xd(world, du_dx[:, None] * e1 + dv_dx[:, None] * e2)
+    dP_dy = xd(world, du_dy[:, None] * e1 + dv_dy[:, None] * e2)
+
+    dn_dx = du_dx[:, None] * ne1 + dv_dx[:, None] * ne2
+    dn_dy = du_dy[:, None] * ne1 + dv_dy[:, None] * ne2
+    n_dot_n = vm.dot(n_raw, n_raw) + 1e-20
+    n_denom = (jax.lax.rsqrt(n_dot_n) / n_dot_n)[:, None]
+    dN_dx = xd(world, (n_dot_n[:, None] * dn_dx - vm.dot(n_raw, dn_dx)[:, None] * n_raw) * n_denom)
+    dN_dy = xd(world, (n_dot_n[:, None] * dn_dy - vm.dot(n_raw, dn_dy)[:, None] * n_raw) * n_denom)
+
+    ds_dx = du_dx * te1[:, 0] + dv_dx * te2[:, 0]
+    ds_dy = du_dy * te1[:, 0] + dv_dy * te2[:, 0]
+    dt_dx = du_dx * te1[:, 1] + dv_dx * te2[:, 1]
+    dt_dy = du_dy * te1[:, 1] + dv_dy * te2[:, 1]
+
+    m3 = valid[:, None]
+    return hits._replace(
+        hit=hits.hit | valid,
+        t=jnp.where(valid, t, hits.t),
+        point=jnp.where(m3, point, hits.point),
+        normal=jnp.where(m3, normal, hits.normal),
+        material_id=jnp.where(valid, material, hits.material_id),
+        u=jnp.where(valid, uv[:, 0], hits.u),
+        v=jnp.where(valid, uv[:, 1], hits.v),
+        ds_dx=jnp.where(valid, ds_dx, hits.ds_dx),
+        ds_dy=jnp.where(valid, ds_dy, hits.ds_dy),
+        dt_dx=jnp.where(valid, dt_dx, hits.dt_dx),
+        dt_dy=jnp.where(valid, dt_dy, hits.dt_dy),
+        dO_dx=jnp.where(m3, dP_dx, hits.dO_dx),
+        dO_dy=jnp.where(m3, dP_dy, hits.dO_dy),
+        dN_dx=jnp.where(m3, dN_dx, hits.dN_dx),
+        dN_dy=jnp.where(m3, dN_dy, hits.dN_dy),
+        bvh_steps=hits.bvh_steps + res.steps,
+    )
+
+
+def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig) -> Hits:
+    """Closest hit over spheres -> planes -> two-level BVH (Scene.cpp:173-177)."""
+    n = rays.count
+    hits = intersect.make_miss_hits(n)
+    for i in range(scene.n_spheres):
+        hits = intersect.sphere_trace(
+            rays, hits, scene.sph_center[i], scene.sph_radius[i], scene.sph_material[i]
+        )
+    for i in range(scene.n_planes):
+        hits = intersect.plane_trace(
+            rays,
+            hits,
+            scene.pln_normal[i],
+            scene.pln_distance[i],
+            scene.pln_u[i],
+            scene.pln_v[i],
+            scene.pln_material[i],
+        )
+    if bvh is not None:
+        res = jax.lax.stop_gradient(
+            traversal.trace_closest(
+                bvh, rays.origin, rays.direction, hits.t, active, cfg
+            )
+        )
+        hits = _mesh_hits_into(scene, rays, res, hits)
+    # lanes outside the wavefront are misses
+    return hits._replace(hit=hits.hit & active)
+
+
+def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
+    """Any-hit chain with early-outs (Scene.cpp:179-190). Returns blocked mask."""
+    rays = intersect.make_rays(origin, direction)
+    blocked = jnp.zeros((origin.shape[0],), bool)
+    for i in range(scene.n_spheres):
+        blocked = blocked | intersect.sphere_intersect(
+            rays, max_distance, scene.sph_center[i], scene.sph_radius[i]
+        )
+    for i in range(scene.n_planes):
+        blocked = blocked | intersect.plane_intersect(
+            rays, max_distance, scene.pln_normal[i], scene.pln_distance[i]
+        )
+    if bvh is not None:
+        blocked = blocked | jax.lax.stop_gradient(
+            traversal.trace_any(
+                bvh, origin, direction, max_distance, active & ~blocked, cfg
+            )
+        )
+    return blocked & active
+
+
+# ---------------------------------------------------------------------------
+# One bounce generation
+# ---------------------------------------------------------------------------
+
+
+class _Generation(NamedTuple):
+    rays: Rays
+    weight: jnp.ndarray  # [N,3] throughput
+    sigma: jnp.ndarray  # [N,3] Beer absorption for this segment (<= 0)
+    pixel: jnp.ndarray  # [N] int32 framebuffer index
+    active: jnp.ndarray  # [N] bool
+
+
+def _material_gather(scene, mid):
+    return (
+        jnp.take(scene.mat_diffuse, mid, axis=0),
+        jnp.take(scene.mat_reflection, mid, axis=0),
+        jnp.take(scene.mat_transmittance, mid, axis=0),
+        jnp.take(scene.mat_ior, mid, axis=0),
+        jnp.take(scene.mat_texture, mid, axis=0),
+    )
+
+
+def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats):
+    """Trace + shade one generation; returns (fb, child candidates or None, stats)."""
+    rays = gen.rays
+    n = rays.count
+    hits = trace_scene(scene, bvh, rays, gen.active, cfg)
+    hit = hits.hit
+
+    if cfg.visualize_heatmap:
+        # Raytracer.cpp:97-102: steps scaled by (1/32, 1/256, 1/512)
+        steps = hits.bvh_steps.astype(jnp.float32)
+        heat = jnp.stack([steps / 32.0, steps / 256.0, steps / 512.0], axis=-1)
+        fb = fb.at[gen.pixel].add(jnp.where(gen.active[:, None], heat, 0.0))
+        return fb, None, stats
+
+    # Beer's law along this segment (evaluated at the child level; see module doc)
+    t_seg = jnp.minimum(jnp.where(hit, hits.t, jnp.inf), _BEER_DIST_CLAMP)
+    beer = jnp.exp(gen.sigma * t_seg[:, None])
+    w = gen.weight * beer
+
+    # sky on miss (Raytracer.cpp:104-111)
+    miss = gen.active & ~hit
+    sky_rgb = sky_sample.sample_sky(scene.sky_data, scene.sky_size, rays.direction)
+    fb = fb.at[gen.pixel].add(jnp.where(miss[:, None], w * sky_rgb, 0.0))
+
+    # material albedo: per-lane gather + texture filter (Raytracer.cpp:117-141)
+    mid = jnp.where(hit, hits.material_id, 0)
+    diffuse_c, refl_c, trans_c, ior, tex_id = _material_gather(scene, mid)
+    tex = (
+        scene.tex_data,
+        scene.tex_width,
+        scene.tex_height,
+        scene.tex_levels,
+        scene.tex_offsets,
+    )
+    albedo = diffuse_c * texture_sample.sample(
+        tex, tex_id, hits.u, hits.v, hits.ds_dx, hits.ds_dy, hits.dt_dx, hits.dt_dy,
+        cfg,
+    )
+    albedo = jnp.where(hit[:, None], albedo, 0.0)
+    diffuse_mask = vm.length_squared(albedo) > 0.0
+
+    # direct lighting with shadow rays (Raytracer.cpp:143-201)
+    to_camera = vm.normalize(scene.cam_pos[None, :] - hits.point, eps=1e-20)
+    light_acc = jnp.full((n, 3), 0.0, jnp.float32) + scene.ambient
+    shadow_active = diffuse_mask  # already implies hit
+    inf = jnp.full((n,), jnp.inf, jnp.float32)
+
+    for i in range(scene.n_point_lights):
+        to_l = scene.pl_pos[i][None, :] - hits.point
+        d2 = vm.length_squared(to_l)
+        dist = jnp.sqrt(d2)
+        to_l = to_l / dist[:, None]
+        blocked = intersect_scene(
+            scene, bvh, hits.point, to_l, dist, shadow_active, cfg
+        )
+        contrib = shading.point_light(
+            hits.normal, to_l, to_camera, scene.pl_colour[i][None, :], d2
+        )
+        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
+        stats = stats._replace(
+            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
+        )
+
+    for i in range(scene.n_spot_lights):
+        to_l = scene.sl_pos[i][None, :] - hits.point
+        d2 = vm.length_squared(to_l)
+        dist = jnp.sqrt(d2)
+        to_l = to_l / dist[:, None]
+        blocked = intersect_scene(
+            scene, bvh, hits.point, to_l, dist, shadow_active, cfg
+        )
+        contrib = shading.spot_light(
+            hits.normal,
+            to_l,
+            to_camera,
+            scene.sl_colour[i][None, :],
+            d2,
+            scene.sl_neg_dir[i][None, :],
+            scene.sl_inner[i],
+            scene.sl_outer[i],
+        )
+        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
+        stats = stats._replace(
+            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
+        )
+
+    for i in range(scene.n_directional_lights):
+        neg_dir = jnp.broadcast_to(scene.dl_neg_dir[i], hits.point.shape)
+        blocked = intersect_scene(
+            scene, bvh, hits.point, neg_dir, inf, shadow_active, cfg
+        )
+        contrib = shading.directional_light(
+            hits.normal, to_camera, scene.dl_colour[i][None, :], scene.dl_neg_dir[i]
+        )
+        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
+        stats = stats._replace(
+            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
+        )
+
+    fb = fb.at[gen.pixel].add(w * albedo * light_acc)
+
+    if not spawn:
+        return fb, None, stats
+
+    # ---- spawn reflection / refraction children (Raytracer.cpp:204-396) ----
+    refl_flag = hit & (vm.length_squared(refl_c) > 0.0)
+    refr_flag = hit & (vm.length_squared(trans_c) > 0.0)
+
+    d = rays.direction
+    nrm = hits.normal
+    dot_dn = vm.dot(d, nrm)
+    entering = dot_dn < 0.0  # dot_mask (Raytracer.cpp:275)
+
+    n1 = jnp.where(entering, AIR_IOR, ior)
+    n2 = jnp.where(entering, ior, AIR_IOR)
+    cos_theta = jnp.where(entering, -dot_dn, dot_dn)
+    n_oriented = jnp.where(entering[:, None], nrm, -nrm)
+    eta = n1 / n2
+    k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
+    tir = refr_flag & (k < 0.0)
+
+    refr_dir = vm.refract(d, n_oriented, eta, cos_theta, k)
+
+    # Schlick Fresnel (Raytracer.cpp:378-391)
+    r0 = (n1 - n2) / (n1 + n2)
+    r0 = r0 * r0
+    cos_f = jnp.where(n1 > n2, -vm.dot(refr_dir, n_oriented), cos_theta)
+    omc = 1.0 - cos_f
+    omc2 = omc * omc
+    f_r = r0 + ((1.0 - r0) * omc2) * (omc2 * omc)
+    f_t = 1.0 - f_r
+
+    # reflection child
+    refl_dir = vm.reflect(d, nrm)
+    refl_coeff = refl_c * (
+        1.0
+        + jnp.where(refr_flag, jnp.where(tir, 1.0, f_r), 0.0)[:, None]
+    )
+    w_refl = w * refl_coeff
+
+    # Igehy reflection differentials (Raytracer.cpp:254-262)
+    ddn_dx = vm.dot(rays.dD_dx, nrm) + vm.dot(d, hits.dN_dx)
+    ddn_dy = vm.dot(rays.dD_dy, nrm) + vm.dot(d, hits.dN_dy)
+    refl_dD_dx = rays.dD_dx - 2.0 * (
+        dot_dn[:, None] * hits.dN_dx + ddn_dx[:, None] * nrm
+    )
+    refl_dD_dy = rays.dD_dy - 2.0 * (
+        dot_dn[:, None] * hits.dN_dy + ddn_dy[:, None] * nrm
+    )
+
+    # Igehy refraction differentials (Raytracer.cpp:325-342)
+    d_dot_n = -cos_theta
+    dprime_dot_n = -vm.safe_sqrt(k)
+    mu = -(eta * cos_theta + dprime_dot_n)
+    factor = eta + (eta * eta * cos_theta) / jnp.where(
+        dprime_dot_n == 0.0, -1e-8, dprime_dot_n
+    )
+    dmu_dx = factor * ddn_dx
+    dmu_dy = factor * ddn_dy
+    refr_dD_dx = eta[:, None] * rays.dD_dx - (
+        (mu * d_dot_n)[:, None] + vm.dot(hits.dN_dx, nrm)[:, None] * nrm
+    ) * ddn_dx[:, None]
+    refr_dD_dy = eta[:, None] * rays.dD_dy - (
+        (mu * d_dot_n)[:, None] + vm.dot(hits.dN_dy, nrm)[:, None] * nrm
+    ) * ddn_dy[:, None]
+    del dmu_dx, dmu_dy  # reference computes but folds into the formulas above
+
+    refr_active = refr_flag & ~tir
+    w_refr = w * f_t[:, None]
+    refr_sigma = jnp.where(
+        (refr_active & entering)[:, None], trans_c - 1.0, 0.0
+    )
+
+    stats = stats._replace(
+        num_reflection=stats.num_reflection + jnp.sum(refl_flag.astype(jnp.int32)),
+        num_refraction=stats.num_refraction + jnp.sum(refr_active.astype(jnp.int32)),
+    )
+
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    cand = dict(
+        origin=jnp.concatenate([hits.point, hits.point], axis=0),
+        direction=jnp.concatenate([refl_dir, refr_dir], axis=0),
+        dO_dx=jnp.concatenate([hits.dO_dx, hits.dO_dx], axis=0),
+        dO_dy=jnp.concatenate([hits.dO_dy, hits.dO_dy], axis=0),
+        dD_dx=jnp.concatenate([refl_dD_dx, refr_dD_dx], axis=0),
+        dD_dy=jnp.concatenate([refl_dD_dy, refr_dD_dy], axis=0),
+        weight=jnp.concatenate([w_refl, w_refr], axis=0),
+        sigma=jnp.concatenate([zeros3, refr_sigma], axis=0),
+        pixel=jnp.concatenate([gen.pixel, gen.pixel], axis=0),
+        active=jnp.concatenate([refl_flag, refr_active], axis=0),
+    )
+    return fb, cand, stats
+
+
+def _compact(cand: dict, capacity: int):
+    """Stable-compact active child candidates into a fixed-capacity queue."""
+    flags = cand["active"]
+    order = jnp.argsort(jnp.logical_not(flags))  # stable: actives first, in order
+    sel = order[:capacity]
+    out = {k: v[sel] for k, v in cand.items()}
+    n_active = jnp.sum(flags.astype(jnp.int32))
+    dropped = jnp.maximum(0, n_active - capacity)
+    return out, dropped
+
+
+# ---------------------------------------------------------------------------
+# Top-level render
+# ---------------------------------------------------------------------------
+
+
+def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
+    """Render an arbitrary batch of pixels; returns (rgb [n,3], RenderStats).
+
+    This is the shardable unit: pixel_idx may be any subset/permutation of the frame
+    (strided across devices for load balance, SURVEY.md section 7 hard parts).
+    """
+    n = pixel_idx.shape[0]
+    rays = primary_rays_for(scene, cfg, pixel_idx)
+    fb = jnp.zeros((n, 3), jnp.float32)
+    stats = RenderStats(
+        num_primary=jnp.int32(n),
+        num_shadow=jnp.int32(0),
+        num_reflection=jnp.int32(0),
+        num_refraction=jnp.int32(0),
+        num_dropped=jnp.int32(0),
+    )
+
+    has_mesh = scene.n_instances > 0
+    bvh = traversal.build_scene_bvh(scene) if has_mesh else None
+
+    gen = _Generation(
+        rays=rays,
+        weight=jnp.ones((n, 3), jnp.float32),
+        sigma=jnp.zeros((n, 3), jnp.float32),
+        pixel=jnp.arange(n, dtype=jnp.int32),
+        active=jnp.ones((n,), bool),
+    )
+
+    capacity = min(int(round(n * cfg.queue_factor)), 2 * n)
+    depth = 0 if cfg.visualize_heatmap else cfg.num_bounces
+    for bounce in range(depth + 1):
+        spawn = bounce < depth
+        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, spawn, cfg, stats)
+        if cand is None:
+            break
+        sel, dropped = _compact(cand, capacity)
+        stats = stats._replace(num_dropped=stats.num_dropped + dropped)
+        gen = _Generation(
+            rays=Rays(
+                origin=sel["origin"],
+                direction=sel["direction"],
+                dO_dx=sel["dO_dx"],
+                dO_dy=sel["dO_dy"],
+                dD_dx=sel["dD_dx"],
+                dD_dy=sel["dD_dy"],
+            ),
+            weight=sel["weight"],
+            sigma=sel["sigma"],
+            pixel=sel["pixel"],
+            active=sel["active"],
+        )
+
+    return fb, stats
+
+
+def render_with_stats(scene, cfg: RenderConfig):
+    """Render one full frame; returns (linear [H,W,3] image, RenderStats)."""
+    fb, stats = render_wavefront(
+        scene, cfg, jnp.arange(cfg.num_pixels, dtype=jnp.int32)
+    )
+    return fb.reshape(cfg.height, cfg.width, 3), stats
+
+
+def present(image, cfg: RenderConfig):
+    """Post pass: FXAA + gamma, or plain gamma — the fullscreen shader stage
+    (Window.cpp:52-63, fragment_fxaa.glsl / fragment_identity.glsl)."""
+    from ..ops import fxaa
+
+    if cfg.enable_fxaa:
+        return fxaa.fxaa(image)
+    return jnp.clip(image, 0.0, 1.0) ** (1.0 / 2.2)
+
+
+def render(scene, cfg: RenderConfig):
+    """Render one frame -> linear [H,W,3] image."""
+    return render_with_stats(scene, cfg)[0]
+
+
+class Renderer:
+    """Convenience wrapper: jit-compiled render for a fixed config."""
+
+    def __init__(self, cfg: RenderConfig):
+        self.cfg = cfg
+        self._render = jax.jit(lambda scene: render_with_stats(scene, cfg))
+
+    def __call__(self, scene):
+        return self._render(scene)

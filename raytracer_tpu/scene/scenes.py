@@ -1,0 +1,306 @@
+"""Concrete scenes: the BASELINE.json config ladder + the reference's two scenes.
+
+Reference assets (OBJ meshes, textures) are used from the read-only reference mount
+when available; every scene has a fully procedural fallback so the framework is
+self-contained (the reference snapshot itself is missing sponza.obj and the sky probe,
+SURVEY.md section 6).
+
+Reference scene setups: Scene.cpp:7-71 (SCENE_DYNAMIC), Scene.cpp:75-130 (SCENE_SPONZA).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..accel.blas import build_blas
+from ..config import MeshAccelerator, RenderConfig
+from ..core import quaternion as quat
+from . import meshgen, objloader, sky
+from .description import (
+    DirectionalLight,
+    PointLight,
+    SceneDescription,
+    SpotLight,
+)
+
+REFERENCE_DATA = os.environ.get("RT_REFERENCE_DATA", "/root/reference/Data")
+
+
+def _checker_texture(size: int = 256) -> np.ndarray:
+    i, j = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    c = ((i // 32 + j // 32) % 2).astype(np.float32)
+    rgb = np.stack([0.2 + 0.6 * c] * 3, axis=-1)
+    return rgb
+
+
+def _load_mesh(name: str, fallback):
+    """Load an OBJ from the reference Data dir, else build the procedural fallback."""
+    path = os.path.join(REFERENCE_DATA, name)
+    if os.path.exists(path):
+        try:
+            return objloader.load_obj(path)
+        except Exception:
+            pass
+    return fallback()
+
+
+def _register_mesh(desc, key, mesh, accelerator=MeshAccelerator.SBVH):
+    desc.register_blas(key, build_blas(mesh, accelerator))
+
+
+def _default_sky(desc, size=256):
+    probe = os.path.join(REFERENCE_DATA, "Sky_Probes", "rnl_probe.float")
+    if os.path.exists(probe):
+        data, s = sky.load_probe(probe)
+    else:
+        data, s = sky.procedural_probe(size)
+    desc.set_sky(data, s)
+
+
+def config0_sphere_plane() -> tuple:
+    """BASELINE config[0]: one sphere + plane, one point light, diffuse, 256^2,
+    primary rays only."""
+    desc = SceneDescription()
+    _default_sky(desc)
+    s = desc.add_sphere((0.0, 0.0, 8.0), 1.0)
+    desc.material(s).diffuse = np.array([0.8, 0.3, 0.3])
+    p = desc.add_plane((0.0, -1.0, 0.0))
+    desc.material(p).diffuse = np.array([0.55, 0.55, 0.6])
+    desc.point_lights.append(
+        PointLight(np.array([30.0, 30.0, 30.0]), np.array([3.0, 4.0, 4.0]))
+    )
+    desc.camera.position = np.array([0.0, 0.5, 0.0])
+    cfg = RenderConfig(width=256, height=256, num_bounces=0, queue_factor=1.0)
+    return desc, cfg
+
+
+def config1_monkey() -> tuple:
+    """BASELINE config[1]: Monkey mesh through SBVH, spot + directional shadows,
+    512^2."""
+    desc = SceneDescription()
+    _default_sky(desc)
+    mesh = _load_mesh("Monkey.obj", lambda: meshgen.icosphere(1.0, 4))
+    _register_mesh(desc, "monkey", mesh)
+    inst = desc.add_instance("monkey", (0.0, 1.0, 6.0))
+    inst.transform.rotation = quat.axis_angle([0.0, 1.0, 0.0], np.pi)
+    p = desc.add_plane((0.0, -1.0, 0.0))
+    desc.material(p).diffuse = np.array([0.6, 0.6, 0.6])
+    desc.spot_lights.append(
+        SpotLight(
+            colour=np.array([40.0, 38.0, 30.0]),
+            position=np.array([4.0, 6.0, 2.0]),
+            direction=np.array([-0.5, -0.8, 0.6]),
+            inner_angle_deg=30.0,
+            outer_angle_deg=45.0,
+        )
+    )
+    desc.directional_lights.append(
+        DirectionalLight(np.array([0.5, 0.5, 0.5]), np.array([0.2, -1.0, 0.1]))
+    )
+    desc.camera.position = np.array([0.0, 1.5, 0.5])
+    cfg = RenderConfig(width=512, height=512, num_bounces=1, queue_factor=1.0)
+    return desc, cfg
+
+
+def config2_dielectric() -> tuple:
+    """BASELINE config[2]: Diamond + Magnifier dielectrics, recursion depth 8, ray
+    differentials."""
+    desc = SceneDescription()
+    _default_sky(desc)
+    diamond = _load_mesh("Diamond.obj", lambda: meshgen.octahedron_gem(1.0))
+    magnifier = _load_mesh("Magnifier.obj", lambda: meshgen.torus(1.0, 0.18, 64, 24))
+    for m in diamond.materials + magnifier.materials:
+        if float(np.sum(m.transmittance)) == 0.0:
+            m.transmittance = np.array([0.95, 0.95, 0.95])
+            m.index_of_refraction = 1.52
+            m.reflection = np.array([0.1, 0.1, 0.1])
+    _register_mesh(desc, "diamond", diamond)
+    _register_mesh(desc, "magnifier", magnifier)
+    desc.add_instance("diamond", (-1.6, 1.2, 6.0))
+    desc.add_instance("magnifier", (1.6, 1.2, 6.0))
+
+    s = desc.add_sphere((0.0, 1.0, 9.0), 1.0)
+    desc.material(s).diffuse = np.array([0.2, 0.2, 0.0])
+    desc.material(s).reflection = np.array([0.6, 0.6, 0.0])
+    desc.material(s).transmittance = np.array([0.6, 0.6, 0.6])
+    desc.material(s).index_of_refraction = 1.33
+
+    p = desc.add_plane((0.0, 0.0, 0.0))
+    desc.material(p).texture_array = _checker_texture()
+    desc.material(p).reflection = np.array([0.1, 0.1, 0.1])
+
+    desc.point_lights.append(
+        PointLight(np.array([60.0, 60.0, 55.0]), np.array([0.0, 6.0, 4.0]))
+    )
+    desc.directional_lights.append(
+        DirectionalLight(np.array([0.4, 0.4, 0.45]), np.array([0.0, -1.0, 0.2]))
+    )
+    desc.camera.position = np.array([0.0, 1.8, 0.0])
+    cfg = RenderConfig(width=512, height=512, num_bounces=8, queue_factor=2.0)
+    return desc, cfg
+
+
+def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_000):
+    """BASELINE config[3]: Sponza 1080p — full SBVH, mipmapped textures, all light
+    types (reference default workload, Scene.cpp:75-130 + Config.h:6-16)."""
+    desc = SceneDescription()
+    _default_sky(desc)
+    sponza_path = os.path.join(REFERENCE_DATA, "sponza", "sponza.obj")
+    if os.path.exists(sponza_path):
+        mesh = objloader.load_obj(sponza_path)
+    else:
+        mesh = meshgen.sponza_like(target_triangles)
+    _register_mesh(desc, "sponza", mesh)
+    desc.add_instance("sponza", (0.0, 0.0, 0.0))
+
+    magnifier = _load_mesh("Magnifier.obj", lambda: meshgen.torus(1.0, 0.18, 48, 16))
+    concave = _load_mesh("Concave.obj", lambda: meshgen.icosphere(1.0, 3))
+    for m in magnifier.materials + concave.materials:
+        if float(np.sum(m.transmittance)) == 0.0:
+            m.transmittance = np.array([0.9, 0.9, 0.9])
+            m.index_of_refraction = 1.5
+    _register_mesh(desc, "magnifier", magnifier)
+    _register_mesh(desc, "concave", concave)
+    desc.add_instance("magnifier", (6.0, 2.0, 0.0))
+    c = desc.add_instance("concave", (20.0, 2.0, 0.0))
+    c.transform.rotation = quat.axis_angle([0.0, 1.0, 0.0], np.pi)
+
+    desc.directional_lights.append(
+        DirectionalLight(np.array([0.9, 0.9, 0.9]), np.array([0.1, -1.0, 0.1]))
+    )
+    desc.point_lights.append(
+        PointLight(np.array([120.0, 110.0, 90.0]), np.array([0.0, 9.0, 0.0]))
+    )
+    desc.spot_lights.append(
+        SpotLight(
+            colour=np.array([80.0, 20.0, 15.0]),
+            position=np.array([-10.0, 8.0, 0.0]),
+            direction=np.array([0.3, -1.0, 0.0]),
+            inner_angle_deg=40.0,
+            outer_angle_deg=60.0,
+        )
+    )
+    desc.camera.position = np.array([15.0, 4.0, 0.0])
+    desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
+    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=0.5)
+    return desc, cfg
+
+
+class DynamicScene(SceneDescription):
+    """The reference's SCENE_DYNAMIC (Scene.cpp:7-71) with its per-frame animation
+    (Scene.cpp:139-155): 2 dielectric spheres, textured reflective plane, 6 mesh
+    instances (2 tori share one BLAS), point+spot+directional lights."""
+
+    def update(self, delta: float) -> None:
+        self.time += delta
+        inst = self.instances
+        # diamond spins around Y
+        inst[0].transform.rotation = quat.multiply(
+            quat.axis_angle([0.0, 1.0, 0.0], delta), inst[0].transform.rotation
+        )
+        # monkey bobs
+        inst[1].transform.position[1] = 1.0 + 2.0 * np.sin(self.time)
+        # icosphere drifts in -x
+        inst[2].transform.position[0] -= delta * 0.5
+        # rock orbits
+        inst[3].transform.position = np.array(
+            [6.0, 4.0 + 2.0 * np.sin(self.time * 0.5), 4.0 + 2.0 * np.cos(self.time * 0.5)]
+        )
+        inst[3].transform.rotation = quat.multiply(
+            quat.axis_angle([0.0, 1.0, 0.0], delta * 0.5), inst[3].transform.rotation
+        )
+        # torus 1 rolls around X
+        inst[4].transform.rotation = quat.multiply(
+            quat.axis_angle([1.0, 0.0, 0.0], delta), inst[4].transform.rotation
+        )
+        # torus 2 nlerps
+        inst[5].transform.rotation = quat.nlerp(
+            quat.IDENTITY,
+            quat.axis_angle([1.0, 0.0, 0.0], np.deg2rad(-90.0)),
+            0.5 + 0.5 * np.sin(self.time),
+        )
+
+
+def config4_dynamic(width: int = 900, height: int = 600) -> tuple:
+    """BASELINE config[4] / reference SCENE_DYNAMIC: per-frame TLAS rebuild over
+    animated shared-BLAS instances."""
+    desc = DynamicScene()
+    _default_sky(desc)
+
+    s0 = desc.add_sphere((-2.0, 0.0, 10.0), 1.0)
+    s1 = desc.add_sphere((2.0, 0.0, 10.0), 1.0)
+    m0, m1 = desc.material(s0), desc.material(s1)
+    m0.diffuse = np.array([0.2, 0.2, 0.0])
+    m1.diffuse = np.array([0.0, 0.2, 0.2])
+    m0.reflection = np.array([0.6, 0.6, 0.0])
+    m1.reflection = np.array([0.0, 0.6, 0.6])
+    m0.transmittance = np.array([0.6, 0.6, 0.6])
+    m1.transmittance = np.array([0.6, 0.6, 0.6])
+    m0.index_of_refraction = 1.33
+    m1.index_of_refraction = 1.68
+
+    p = desc.add_plane((0.0, -1.0, 0.0), quat.axis_angle([0.0, 1.0, 0.0], 0.25 * np.pi))
+    floor_png = os.path.join(REFERENCE_DATA, "floor.png")
+    if os.path.exists(floor_png):
+        desc.material(p).texture_path = floor_png
+    else:
+        desc.material(p).texture_array = _checker_texture()
+    desc.material(p).reflection = np.array([0.1, 0.1, 0.1])
+
+    meshes = {
+        "diamond": _load_mesh("Diamond.obj", lambda: meshgen.octahedron_gem(1.0)),
+        "monkey": _load_mesh("Monkey.obj", lambda: meshgen.icosphere(1.0, 3)),
+        "icosphere": _load_mesh("icosphere.obj", lambda: meshgen.icosphere(1.0, 3)),
+        "rock": _load_mesh("Rock.obj", lambda: meshgen.box((1.5, 1.0, 1.2))),
+        "torus": _load_mesh("Torus.obj", lambda: meshgen.torus(1.0, 0.35, 48, 24)),
+    }
+    for k, m in meshes.items():
+        _register_mesh(desc, k, m)
+    desc.add_instance("diamond", (0.0, 1.0, 0.0))
+    desc.add_instance("monkey", (4.0, 2.0, 0.0))
+    desc.add_instance("icosphere", (0.0, 3.0, 4.0))
+    desc.add_instance("rock", (6.0, 4.0, 4.0))
+    desc.add_instance("torus", (0.0, 5.0, 8.0))  # shared BLAS: instancing
+    desc.add_instance("torus", (-4.0, 2.0, 6.0))
+
+    desc.point_lights.append(
+        PointLight(np.array([0.0, 5.0, 10.0]), np.array([0.0, 0.0, 6.0]))
+    )
+    spot_dir = quat.rotate(
+        quat.axis_angle([1.0, 0.0, 0.0], np.deg2rad(70.0)), [0.0, 0.0, 1.0]
+    )
+    desc.spot_lights.append(
+        SpotLight(
+            colour=np.array([1.0, 0.0, 0.0]),
+            position=np.array([0.0, 0.0, 10.0]),
+            direction=np.asarray(spot_dir),
+            inner_angle_deg=70.0,
+            outer_angle_deg=80.0,
+        )
+    )
+    desc.directional_lights.append(
+        DirectionalLight(np.array([0.5, 0.5, 0.5]), np.array([0.0, -1.0, 0.0]))
+    )
+    desc.camera.position = np.array([-4.694016, 6.446100, -0.572288])
+    desc.camera.rotation = np.array([0.268476, 0.423740, -0.133092, 0.854779])
+    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=1.0)
+    return desc, cfg
+
+
+SCENES = {
+    "config0": config0_sphere_plane,
+    "config1": config1_monkey,
+    "config2": config2_dielectric,
+    "config3": config3_sponza,
+    "config4": config4_dynamic,
+}
+
+
+def make_scene(name: str):
+    if name not in SCENES:
+        raise ValueError(
+            f"unknown scene {name!r}; available: {', '.join(sorted(SCENES))}"
+        )
+    return SCENES[name]()

@@ -1,0 +1,20 @@
+"""Test environment: run JAX on CPU with an 8-device virtual mesh.
+
+Multi-chip sharding is validated on a fake mesh via
+``--xla_force_host_platform_device_count`` (the driver separately dry-runs
+``__graft_entry__.dryrun_multichip``).  The container's sitecustomize pins
+``JAX_PLATFORMS=axon`` (the real TPU tunnel), so we must override via jax.config
+after import — tests must not contend for the single real chip.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
