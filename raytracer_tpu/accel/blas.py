@@ -21,7 +21,7 @@ from ..config import MeshAccelerator
 from ..scene.meshgen import MeshData
 from .bvh import BVH, build_bvh, triangle_bounds
 
-_BUILDER_VERSION = 3  # bump to invalidate cached BVHs
+_BUILDER_VERSION = 4  # bump to invalidate cached BVHs
 
 
 @dataclasses.dataclass
@@ -45,7 +45,10 @@ class Blas:
     tri_te1: np.ndarray
     tri_te2: np.ndarray
     tri_material: np.ndarray  # [T] local material id
-    materials: list  # local material table (not cached; reattached by caller)
+    # threaded-traversal links [8, M, 2] (accel/links.py), BLAS_EXIT sentinels,
+    # BLAS-local node indices
+    links: np.ndarray = None
+    materials: list = None  # local material table (not cached; reattached by caller)
     source_triangle_count: int = 0
 
     @property
@@ -109,6 +112,12 @@ def build_blas(
             f"{(time.time() - t0) * 1e3:.1f} ms"
         )
 
+    from .links import BLAS_EXIT, compute_links
+
+    links = compute_links(
+        bvh.node_left, bvh.node_count, bvh.node_axis, exit_sentinel=BLAS_EXIT
+    )
+
     # flatten(): copy triangles into leaf order, dropping the index indirection
     # (BottomLevelBVH.cpp:196-212); SBVH reference duplication falls out naturally.
     p0 = mesh.p0[order]
@@ -128,6 +137,7 @@ def build_blas(
         tri_te1=mesh.t1[order] - mesh.t0[order],
         tri_te2=mesh.t2[order] - mesh.t0[order],
         tri_material=mesh.material_id[order].astype(np.int32),
+        links=links,
         materials=mesh.materials,
         source_triangle_count=mesh.triangle_count,
     )

@@ -93,6 +93,20 @@ class RenderConfig:
     # (the analog of the reference's 32x32 tile decomposition, Window.h:32-33).
     traversal_chunk: int = 1 << 17
 
+    # Straggler ladder for the stackless traversal (ops/traversal.py): rounds of
+    # (wavefront fraction, statically-bounded iterations).  Round 0 runs every ray;
+    # each later round compacts unfinished rays into a smaller wavefront with a
+    # larger step budget.  Rays exceeding the total budget are counted as
+    # `incomplete` in the render stats.
+    traversal_rounds: tuple = (
+        (1.0, 128),
+        (0.25, 256),
+        (1.0 / 16, 512),
+        (1.0 / 64, 2048),
+    )
+    # unroll factor of the inner fori_loop (amortizes loop overhead)
+    traversal_unroll: int = 1
+
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
     # Capacity of each secondary-ray generation as a fraction of the primary count.
     # A surface can spawn both a reflection and a refraction ray (Raytracer.cpp:249-316),

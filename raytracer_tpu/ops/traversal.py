@@ -1,27 +1,41 @@
-"""Wavefront two-level BVH traversal (TLAS over instances -> per-mesh BLAS).
+"""Stackless wavefront two-level BVH traversal (threaded BVH, TPU-native).
 
-TPU-native re-design of the reference's nested stack walks (TopLevelBVH.cpp:53-129
-delegating to BottomLevelBVH.cpp:348-437 through Mesh::trace's object-space transform,
-Mesh.cpp:17-31).  Instead of recursing into a second traversal at TLAS leaves, the two
-levels share ONE per-ray stack whose entries are (node index, instance id): popping a
-TLAS leaf pushes the instance's BLAS root with its instance id, and every node test
-transforms the ray by that entry's inverse instance matrix on the fly.  The whole
-wavefront advances in lockstep, one stack pop (or one leaf-triangle test) per ray per
-iteration, with per-ray early termination — masks replace the reference's packet lane
-masks, gathers replace its pointer chasing, and a `lax.while_loop` runs until every
-ray in the chunk has drained its stack.
+Re-design of the reference's nested stack walks (TopLevelBVH.cpp:53-129 ->
+Mesh::trace -> BottomLevelBVH.cpp:348-437) for the TPU execution model:
 
-Leaf triangles are iterated one per step through a (tri_i, tri_end) cursor, so leaf
-size is unbounded and control flow stays uniform (no data-dependent inner loops).
-Rays are processed in fixed-size chunks (lax.map) to bound per-ray stack memory.
+* **No stacks.**  Each BVH is *threaded*: per ray-direction octant, every node has a
+  precomputed ``near`` (first-visited child, the per-ray form of ordered descent,
+  BVHNode.h:30-40) and ``skip`` (where to jump on miss / subtree completion) link
+  (accel/links.py).  Per-ray traversal state is a single node pointer — a ~40x
+  reduction in loop-carried state vs an explicit stack, and no scatters.
+
+* **No data-dependent loops.**  On the tunneled TPU runtime a ``while_loop``
+  condition costs a host round-trip per iteration (~170 ms measured).  Traversal
+  instead runs a *straggler ladder* of statically-bounded ``fori_loop`` rounds:
+  round 0 advances every ray K0 steps; unfinished rays are compacted (argsort) into
+  a 4x-smaller wavefront for K1 more steps, and so on.  Typical rays finish in
+  round 0; worst-case rays get geometrically more steps on geometrically fewer
+  lanes, so the *compute* cost stays near the wavefront average while the *bound*
+  covers deep traversals.  Rays still unfinished after the last round are counted
+  (``incomplete``) so callers can observe truncation instead of silently missing
+  hits.
+
+* **Two levels, one pointer.**  A TLAS leaf jump saves its skip link in a per-ray
+  ``resume`` register (nesting depth is exactly 1), enters the instance's BLAS root,
+  and transforms the ray into object space once (Mesh.cpp:17-31); the BLAS exit
+  sentinel restores the world ray and continues at ``resume``.
+
+* **Fused records.**  Node geometry is one [U,8] row gather (min, max,
+  bitcast(left/first), bitcast(kind|count<<2)); links one [8U,2] row; triangles one
+  [T,9] row; instance matrices one [I+1,12] row — minimizing gather ops per step.
+
+Leaf triangles are drained one per step through a (tri_i, tri_end) cursor while the
+node pointer waits, so leaf size is unbounded and control flow stays uniform.
 
 Traversal is geometry-discrete: it returns hit ids + (t, u, v, steps) and is wrapped
 in stop_gradient by the renderer; differentiable hit attributes are reconstructed
-from the ids afterwards.
-
-Ordered descent picks the near child from the node's split axis and the sign of the
-(instance-space) ray direction — per-ray, an improvement over the reference's lane-0
-vote (BVHNode.h:30-40).
+from the ids afterwards.  Instancing is rigid (rotation+translation, like the
+reference), so object-space t equals world-space t.
 """
 
 from __future__ import annotations
@@ -31,287 +45,312 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import RenderConfig, TraversalStrategy
+from ..accel.links import BLAS_EXIT, DONE
+from ..config import RenderConfig
 from . import intersect
 
 
 class SceneBVH(NamedTuple):
-    """Unified node arrays for one frame: [TLAS | concatenated BLASes].
+    """Unified per-frame traversal structure: [TLAS | concatenated BLASes]."""
 
-    kind: 0 = internal, 1 = TLAS leaf (left = instance id), 2 = BLAS leaf
-    (left = first global triangle, count = triangle count).
-    inst_inv1: [I+1, 3, 4] inverse instance matrices with the identity prepended so
-    TLAS entries (inst id -1) index slot 0.
-    """
+    node_rec: jnp.ndarray  # [U,8] f32: min3 | max3 | bits(left/first/inst) | bits(meta)
+    links: jnp.ndarray  # [8*U,2] i32: (near, skip) per octant-major node
+    inst_mat: jnp.ndarray  # [I+1,12] f32 inverse instance matrices (slot 0 identity)
+    inst_root: jnp.ndarray  # [I] i32 global BLAS root node per instance
+    tri_rec: jnp.ndarray  # [T,9] f32: p0 | e1 | e2
 
-    node_min: jnp.ndarray  # [U,3]
-    node_max: jnp.ndarray
-    node_left: jnp.ndarray  # [U]
-    node_count: jnp.ndarray  # [U]
-    node_axis: jnp.ndarray  # [U]
-    node_kind: jnp.ndarray  # [U] int32
-    inst_inv1: jnp.ndarray  # [I+1,3,4]
-    inst_root: jnp.ndarray  # [I] global root node of each instance's BLAS
-    tri_p0: jnp.ndarray  # [T,3]
-    tri_e1: jnp.ndarray
-    tri_e2: jnp.ndarray
+    @property
+    def n_nodes(self) -> int:
+        return self.node_rec.shape[0]
+
+
+def _bits_to_f32(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _f32_to_bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def build_scene_bvh(scene) -> SceneBVH:
-    """Concatenate the frame's TLAS with the static BLAS arrays (device-side).
+    """Assemble the frame's unified traversal arrays on device.
 
-    The TLAS is tiny (2 nodes per instance) so this is a cheap per-frame copy of the
-    static BLAS block; shapes are static for a fixed scene, so jit caches the program.
+    The static BLAS block (nodes/links/triangles) is concatenated with the tiny
+    per-frame TLAS; shapes are static per scene so jit caches the program.
     """
     n_tlas = scene.tl_min.shape[0]
-    identity = jnp.concatenate(
-        [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], axis=1
-    )
-    inst_inv1 = jnp.concatenate([identity[None], scene.inst_inv], axis=0)
 
-    # globalize BLAS internal child indices by the TLAS block size
-    blas_internal = scene.nd_count == 0
-    nd_left = jnp.where(blas_internal, scene.nd_left + n_tlas, scene.nd_left)
+    # ---- node records ----
     tl_internal = scene.tl_count == 0
+    bl_internal = scene.nd_count == 0
+    # kind: 0 internal, 1 TLAS leaf (left = instance id), 2 BLAS leaf
+    tl_kind = jnp.where(tl_internal, 0, 1).astype(jnp.int32)
+    bl_kind = jnp.where(bl_internal, 0, 2).astype(jnp.int32)
+    # globalize BLAS internal child indices by the TLAS block size
+    bl_left = jnp.where(bl_internal, scene.nd_left + n_tlas, scene.nd_left)
 
     node_min = jnp.concatenate([scene.tl_min, scene.nd_min], axis=0)
     node_max = jnp.concatenate([scene.tl_max, scene.nd_max], axis=0)
-    node_left = jnp.concatenate([scene.tl_left, nd_left], axis=0)
-    node_count = jnp.concatenate([scene.tl_count, scene.nd_count], axis=0)
-    node_axis = jnp.concatenate([scene.tl_axis, scene.nd_axis], axis=0)
-    kind = jnp.concatenate(
-        [
-            jnp.where(tl_internal, 0, 1).astype(jnp.int32),
-            jnp.where(blas_internal, 0, 2).astype(jnp.int32),
-        ],
-        axis=0,
+    left = jnp.concatenate([scene.tl_left, bl_left], axis=0)
+    kind = jnp.concatenate([tl_kind, bl_kind], axis=0)
+    count = jnp.concatenate([scene.tl_count, scene.nd_count], axis=0)
+    meta = kind | (count << 2)
+
+    node_rec = jnp.concatenate(
+        [node_min, node_max, _bits_to_f32(left)[:, None], _bits_to_f32(meta)[:, None]],
+        axis=1,
     )
+
+    # ---- links: globalize and concatenate per octant ----
+    tl_links = scene.tl_links  # [8,Mt,2], internal targets are TLAS-local (== global)
+    bl_links = scene.nd_links  # [8,M,2], BLAS-local with BLAS_EXIT sentinels
+    bl_links = jnp.where(bl_links >= 0, bl_links + n_tlas, bl_links)
+    links = jnp.concatenate([tl_links, bl_links], axis=1)  # [8,U,2]
+    links = links.reshape(-1, 2)
+
+    identity = jnp.concatenate(
+        [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], axis=1
+    )
+    inst_mat = jnp.concatenate([identity[None], scene.inst_inv], axis=0).reshape(-1, 12)
+
+    tri_rec = jnp.concatenate([scene.tr_p0, scene.tr_e1, scene.tr_e2], axis=1)
+
     return SceneBVH(
-        node_min=node_min,
-        node_max=node_max,
-        node_left=node_left,
-        node_count=node_count,
-        node_axis=node_axis,
-        node_kind=kind,
-        inst_inv1=inst_inv1,
+        node_rec=node_rec,
+        links=links,
+        inst_mat=inst_mat,
         inst_root=scene.inst_root + n_tlas,
-        tri_p0=scene.tr_p0,
-        tri_e1=scene.tr_e1,
-        tri_e2=scene.tr_e2,
+        tri_rec=tri_rec,
     )
 
 
 class TraceResult(NamedTuple):
     t: jnp.ndarray  # [N] closest hit distance (inf = miss)
-    tri: jnp.ndarray  # [N] int32 global triangle id (-1 = miss)
-    inst: jnp.ndarray  # [N] int32 instance id (-1 = miss)
-    u: jnp.ndarray  # [N] barycentric u
+    tri: jnp.ndarray  # [N] i32 global triangle id (-1 = miss)
+    inst: jnp.ndarray  # [N] i32 instance id (-1 = miss)
+    u: jnp.ndarray  # [N]
     v: jnp.ndarray  # [N]
-    steps: jnp.ndarray  # [N] int32 node pops (heatmap, RayHit.h:24-26)
+    steps: jnp.ndarray  # [N] i32 node visits (heatmap counter, RayHit.h:24-26)
+    incomplete: jnp.ndarray  # [] i32 rays truncated by the iteration ladder
 
 
-def _xform_pos(m, p):
-    return jnp.einsum("nij,nj->ni", m[:, :, :3], p) + m[:, :, 3]
+def _octant(d):
+    return (
+        (d[:, 0] > 0).astype(jnp.int32)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((d[:, 2] > 0).astype(jnp.int32) << 2)
+    )
 
 
-def _xform_dir(m, d):
-    return jnp.einsum("nij,nj->ni", m[:, :, :3], d)
+def _mat_apply(rows, p, translate):
+    """rows: [N,12] packed 3x4; p: [N,3]."""
+    m = rows.reshape(-1, 3, 4)
+    out = jnp.einsum("nij,nj->ni", m[:, :, :3], p)
+    if translate:
+        out = out + m[:, :, 3]
+    return out
 
 
-def _traverse_chunk(bvh: SceneBVH, o, d, t_init, active_in, cfg, any_hit: bool):
-    """Core lockstep stack walk for one chunk of rays.
+class _State(NamedTuple):
+    cur: jnp.ndarray  # [N] node pointer (DONE / BLAS_EXIT sentinels)
+    resume: jnp.ndarray  # [N] saved TLAS continuation while inside a BLAS
+    inst: jnp.ndarray  # [N] current instance (-1 = world/TLAS)
+    oct: jnp.ndarray  # [N] current-space direction octant
+    o: jnp.ndarray  # [N,3] current-space origin
+    d: jnp.ndarray  # [N,3]
+    inv_d: jnp.ndarray  # [N,3]
+    o_w: jnp.ndarray  # [N,3] world ray (restored on BLAS exit)
+    d_w: jnp.ndarray
+    tri_i: jnp.ndarray  # [N] leaf cursor
+    tri_end: jnp.ndarray
+    t_best: jnp.ndarray
+    best_tri: jnp.ndarray
+    best_inst: jnp.ndarray
+    best_u: jnp.ndarray
+    best_v: jnp.ndarray
+    steps: jnp.ndarray
+    found: jnp.ndarray  # [N] any-hit flag
 
-    Closest-hit mode returns TraceResult; any-hit mode returns a blocked mask.
-    """
+
+def _init_state(o, d, t_init, active) -> _State:
     n = o.shape[0]
-    stack_depth = cfg.traversal_stack_size
-    rows = jnp.arange(n)
-
-    # stacks have one spill column; writes to column `stack_depth` are discards
-    stack_node = jnp.zeros((n, stack_depth + 1), jnp.int32)
-    stack_inst = jnp.full((n, stack_depth + 1), -1, jnp.int32)
-    sp = jnp.where(active_in, 1, 0).astype(jnp.int32)  # root pre-pushed at slot 0
-
-    state = dict(
-        stack_node=stack_node,
-        stack_inst=stack_inst,
-        sp=sp,
-        inst_cur=jnp.full((n,), -1, jnp.int32),
-        tri_i=jnp.zeros((n,), jnp.int32),
-        tri_end=jnp.zeros((n,), jnp.int32),
+    i32 = lambda v: jnp.full((n,), v, jnp.int32)  # noqa: E731
+    return _State(
+        cur=jnp.where(active, 0, DONE).astype(jnp.int32),
+        resume=i32(DONE),
+        inst=i32(-1),
+        oct=_octant(d),
+        o=o,
+        d=d,
+        inv_d=1.0 / d,
+        o_w=o,
+        d_w=d,
+        tri_i=i32(0),
+        tri_end=i32(0),
         t_best=t_init,
-        best_tri=jnp.full((n,), -1, jnp.int32),
-        best_inst=jnp.full((n,), -1, jnp.int32),
+        best_tri=i32(-1),
+        best_inst=i32(-1),
         best_u=jnp.zeros((n,), jnp.float32),
         best_v=jnp.zeros((n,), jnp.float32),
-        steps=jnp.zeros((n,), jnp.int32),
+        steps=i32(0),
         found=jnp.zeros((n,), bool),
     )
 
-    def cond(s):
-        live = (s["sp"] > 0) | (s["tri_i"] < s["tri_end"])
-        if any_hit:
-            live = live & ~s["found"]
-        return jnp.any(live)
 
-    def body(s):
-        if any_hit:
-            live_ray = ~s["found"]
-        else:
-            live_ray = jnp.ones((n,), bool)
-        has_tri = (s["tri_i"] < s["tri_end"]) & live_ray
-
-        # ---- triangle phase: one Moller-Trumbore test per ray with leaf work ----
-        ti = jnp.where(has_tri, s["tri_i"], 0)
-        p0 = jnp.take(bvh.tri_p0, ti, axis=0)
-        e1 = jnp.take(bvh.tri_e1, ti, axis=0)
-        e2 = jnp.take(bvh.tri_e2, ti, axis=0)
-        m_cur = jnp.take(bvh.inst_inv1, s["inst_cur"] + 1, axis=0)
-        o_obj = _xform_pos(m_cur, o)
-        d_obj = _xform_dir(m_cur, d)
-        hit, t, u, v = intersect.triangle_hit(o_obj, d_obj, p0, e1, e2, s["t_best"])
-        hit = hit & has_tri
-
-        t_best = jnp.where(hit, t, s["t_best"])
-        best_tri = jnp.where(hit, ti, s["best_tri"])
-        best_inst = jnp.where(hit, s["inst_cur"], s["best_inst"])
-        best_u = jnp.where(hit, u, s["best_u"])
-        best_v = jnp.where(hit, v, s["best_v"])
-        found = s["found"] | hit
-        tri_i = s["tri_i"] + has_tri.astype(jnp.int32)
-
-        # ---- node phase: rays without leaf work pop one stack entry ----
-        do_node = (~has_tri) & (s["sp"] > 0) & live_ray
-        sp2 = s["sp"] - do_node.astype(jnp.int32)
-        slot = jnp.where(do_node, sp2, 0)
-        node = s["stack_node"][rows, slot]
-        e_inst = jnp.where(do_node, s["stack_inst"][rows, slot], -1)
-
-        nmin = jnp.take(bvh.node_min, node, axis=0)
-        nmax = jnp.take(bvh.node_max, node, axis=0)
-        left = jnp.take(bvh.node_left, node, axis=0)
-        count = jnp.take(bvh.node_count, node, axis=0)
-        axis = jnp.take(bvh.node_axis, node, axis=0)
-        kind = jnp.take(bvh.node_kind, node, axis=0)
-
-        m_e = jnp.take(bvh.inst_inv1, e_inst + 1, axis=0)
-        o_e = _xform_pos(m_e, o)
-        d_e = _xform_dir(m_e, d)
-        inv_d = 1.0 / d_e  # rcp; +-inf on zero components, correct slab behavior
-        box_hit = intersect.aabb_hit(o_e, inv_d, nmin, nmax, t_best) & do_node
-
-        is_internal = box_hit & (kind == 0)
-        is_tlas_leaf = box_hit & (kind == 1)
-        is_blas_leaf = box_hit & (kind == 2)
-
-        # BLAS leaf -> set the triangle cursor (left = first global tri)
-        tri_i = jnp.where(is_blas_leaf, left, tri_i)
-        tri_end = jnp.where(is_blas_leaf, left + count, s["tri_end"])
-        inst_cur = jnp.where(is_blas_leaf, e_inst, s["inst_cur"])
-
-        # internal -> push far child then near child (BVHNode.h:30-40, per-ray)
-        d_axis = jnp.take_along_axis(d_e, axis[:, None], axis=1)[:, 0]
-        if cfg.traversal_strategy == TraversalStrategy.ORDERED:
-            left_first = d_axis > 0.0
-        else:
-            left_first = jnp.ones((n,), bool)
-        near = jnp.where(left_first, left, left + 1)
-        far = jnp.where(left_first, left + 1, left)
-
-        # TLAS leaf -> push the instance's BLAS root (left = instance id)
-        inst_id = left  # for kind==1
-        blas_root = jnp.take(bvh.inst_root, jnp.clip(inst_id, 0, None), axis=0)
-
-        push1 = is_internal | is_tlas_leaf
-        push2 = is_internal
-        # first pushed entry: far child (internal) or BLAS root (tlas leaf)
-        e1_node = jnp.where(is_internal, far, blas_root)
-        e1_inst = jnp.where(is_internal, e_inst, inst_id)
-        slot1 = jnp.where(push1, sp2, stack_depth)
-        stack_node = s["stack_node"].at[rows, slot1].set(e1_node, mode="drop")
-        stack_inst = s["stack_inst"].at[rows, slot1].set(e1_inst, mode="drop")
-        # second entry: near child (popped first)
-        slot2 = jnp.where(push2, sp2 + 1, stack_depth)
-        stack_node = stack_node.at[rows, slot2].set(near, mode="drop")
-        stack_inst = stack_inst.at[rows, slot2].set(e_inst, mode="drop")
-        sp_new = jnp.minimum(
-            sp2 + push1.astype(jnp.int32) + push2.astype(jnp.int32), stack_depth
-        )
-
-        return dict(
-            stack_node=stack_node,
-            stack_inst=stack_inst,
-            sp=sp_new,
-            inst_cur=inst_cur,
-            tri_i=tri_i,
-            tri_end=tri_end,
-            t_best=t_best,
-            best_tri=best_tri,
-            best_inst=best_inst,
-            best_u=best_u,
-            best_v=best_v,
-            steps=s["steps"] + do_node.astype(jnp.int32),
-            found=found,
-        )
-
-    out = jax.lax.while_loop(cond, body, state)
+def _alive(s: _State, any_hit: bool):
+    a = (s.cur >= 0) | (s.cur == BLAS_EXIT) | (s.tri_i < s.tri_end)
     if any_hit:
-        return out["found"]
+        a = a & ~s.found
+    return a
+
+
+def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
+    n_nodes = bvh.n_nodes
+    has_tri = s.tri_i < s.tri_end
+    if any_hit:
+        has_tri = has_tri & ~s.found
+
+    # ---- resolve BLAS exit: restore the world ray, continue at `resume` ----
+    exiting = (s.cur == BLAS_EXIT) & ~has_tri
+    cur = jnp.where(exiting, s.resume, s.cur)
+    resume = jnp.where(exiting, DONE, s.resume)
+    inst = jnp.where(exiting, -1, s.inst)
+    e3 = exiting[:, None]
+    o = jnp.where(e3, s.o_w, s.o)
+    d = jnp.where(e3, s.d_w, s.d)
+    inv_d = jnp.where(e3, 1.0 / s.d_w, s.inv_d)
+    oct_ = jnp.where(exiting, _octant(s.d_w), s.oct)
+
+    # ---- triangle phase: one Moller-Trumbore test per ray with leaf work ----
+    ti = jnp.where(has_tri, s.tri_i, 0)
+    trec = jnp.take(bvh.tri_rec, ti, axis=0)
+    hit, t, u, v = intersect.triangle_hit(
+        o, d, trec[:, 0:3], trec[:, 3:6], trec[:, 6:9], s.t_best
+    )
+    hit = hit & has_tri
+    t_best = jnp.where(hit, t, s.t_best)
+    best_tri = jnp.where(hit, ti, s.best_tri)
+    best_inst = jnp.where(hit, inst, s.best_inst)
+    best_u = jnp.where(hit, u, s.best_u)
+    best_v = jnp.where(hit, v, s.best_v)
+    found = s.found | hit
+    tri_i = s.tri_i + has_tri.astype(jnp.int32)
+
+    # ---- node phase: rays without leaf work follow the threaded links ----
+    do_node = (~has_tri) & (cur >= 0)
+    if any_hit:
+        do_node = do_node & ~found
+    nidx = jnp.where(do_node, cur, 0)
+    nrec = jnp.take(bvh.node_rec, nidx, axis=0)
+    nmin = nrec[:, 0:3]
+    nmax = nrec[:, 3:6]
+    left = _f32_to_bits(nrec[:, 6])
+    meta = _f32_to_bits(nrec[:, 7])
+    kind = meta & 3
+    count = meta >> 2
+
+    lrow = jnp.take(bvh.links, oct_ * n_nodes + nidx, axis=0)
+    near = lrow[:, 0]
+    skip = lrow[:, 1]
+
+    box_hit = intersect.aabb_hit(o, inv_d, nmin, nmax, t_best) & do_node
+
+    is_int = box_hit & (kind == 0)
+    is_tl = box_hit & (kind == 1)
+    is_bl = box_hit & (kind == 2)
+
+    nxt = jnp.where(is_int, near, skip)
+
+    # BLAS leaf -> arm the triangle cursor (left = first global triangle)
+    tri_i = jnp.where(is_bl, left, tri_i)
+    tri_end = jnp.where(is_bl, left + count, s.tri_end)
+
+    # TLAS leaf -> enter the instance: save continuation, transform the ray
+    inst_id = left  # for kind==1
+    root = jnp.take(bvh.inst_root, jnp.clip(inst_id, 0, None), axis=0)
+    nxt = jnp.where(is_tl, root, nxt)
+    resume = jnp.where(is_tl, skip, resume)
+    inst = jnp.where(is_tl, inst_id, inst)
+    mrow = jnp.take(bvh.inst_mat, jnp.where(is_tl, inst_id + 1, 0), axis=0)
+    o_new = _mat_apply(mrow, s.o_w, translate=True)
+    d_new = _mat_apply(mrow, s.d_w, translate=False)
+    t3 = is_tl[:, None]
+    o = jnp.where(t3, o_new, o)
+    d = jnp.where(t3, d_new, d)
+    inv_d = jnp.where(t3, 1.0 / d_new, inv_d)
+    oct_ = jnp.where(is_tl, _octant(d_new), oct_)
+
+    cur = jnp.where(do_node, nxt, cur)
+
+    return _State(
+        cur=cur,
+        resume=resume,
+        inst=inst,
+        oct=oct_,
+        o=o,
+        d=d,
+        inv_d=inv_d,
+        o_w=s.o_w,
+        d_w=s.d_w,
+        tri_i=tri_i,
+        tri_end=tri_end,
+        t_best=t_best,
+        best_tri=best_tri,
+        best_inst=best_inst,
+        best_u=best_u,
+        best_v=best_v,
+        steps=s.steps + do_node.astype(jnp.int32),
+        found=found,
+    )
+
+
+def _run_rounds(bvh: SceneBVH, state: _State, cfg: RenderConfig, any_hit: bool):
+    """Straggler ladder: statically-bounded rounds over geometrically smaller
+    compacted wavefronts (see module docstring)."""
+    n = state.cur.shape[0]
+    rounds = cfg.traversal_rounds
+
+    def run(s, iters):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, st: _step(bvh, st, any_hit), s, unroll=cfg.traversal_unroll
+        )
+
+    state = run(state, rounds[0][1])
+    for frac, iters in rounds[1:]:
+        m = max(int(round(n * frac)), 256)
+        if m >= n:
+            state = run(state, iters)
+            continue
+        alive = _alive(state, any_hit)
+        order = jnp.argsort(jnp.logical_not(alive))  # stable: alive first
+        sel = order[:m]
+        sub = jax.tree_util.tree_map(lambda x: x[sel], state)
+        sub = run(sub, iters)
+        state = jax.tree_util.tree_map(
+            lambda full, part: full.at[sel].set(part), state, sub
+        )
+    return state
+
+
+def trace_closest(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig) -> TraceResult:
+    """Closest-hit traversal for a wavefront of world-space rays."""
+    state = _init_state(o, d, t_max, active)
+    state = _run_rounds(bvh, state, cfg, any_hit=False)
+    incomplete = jnp.sum(_alive(state, False).astype(jnp.int32))
     return TraceResult(
-        t=out["t_best"],
-        tri=out["best_tri"],
-        inst=out["best_inst"],
-        u=out["best_u"],
-        v=out["best_v"],
-        steps=out["steps"],
+        t=state.t_best,
+        tri=state.best_tri,
+        inst=state.best_inst,
+        u=state.best_u,
+        v=state.best_v,
+        steps=state.steps,
+        incomplete=incomplete,
     )
-
-
-def _chunked(fn, args, n, chunk):
-    """Apply fn over [ceil(n/chunk)] padded chunks with lax.map; unpad the result."""
-    if n <= chunk:
-        return fn(args)
-    pad = (-n) % chunk
-    padded = jax.tree_util.tree_map(
-        lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
-        ).reshape((n + pad) // chunk, chunk, *x.shape[1:]),
-        args,
-    )
-    out = jax.lax.map(fn, padded)
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((n + pad,) + x.shape[2:])[:n], out
-    )
-
-
-def trace_closest(
-    bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig
-) -> TraceResult:
-    """Closest-hit traversal for a wavefront of world-space rays.
-
-    t_max: per-ray upper bound (e.g. from analytic primitives already tested);
-    active: rays to trace (inactive rays return miss instantly).
-    """
-    n = o.shape[0]
-
-    def run(args):
-        oo, dd, tt, aa = args
-        return _traverse_chunk(bvh, oo, dd, tt, aa, cfg, any_hit=False)
-
-    return _chunked(run, (o, d, t_max, active), n, cfg_chunk(cfg))
 
 
 def trace_any(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig):
-    """Any-hit (shadow) traversal with all-lanes early exit
+    """Any-hit (shadow) traversal; found rays retire immediately
     (BottomLevelBVH.cpp:398-437)."""
-    n = o.shape[0]
-
-    def run(args):
-        oo, dd, tt, aa = args
-        return _traverse_chunk(bvh, oo, dd, tt, aa, cfg, any_hit=True)
-
-    return _chunked(run, (o, d, t_max, active), n, cfg_chunk(cfg))
-
-
-def cfg_chunk(cfg: RenderConfig) -> int:
-    return getattr(cfg, "traversal_chunk", 1 << 17)
+    state = _init_state(o, d, t_max, active)
+    state = _run_rounds(bvh, state, cfg, any_hit=True)
+    return state.found

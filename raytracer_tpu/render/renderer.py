@@ -49,6 +49,7 @@ class RenderStats(NamedTuple):
     num_reflection: jnp.ndarray
     num_refraction: jnp.ndarray
     num_dropped: jnp.ndarray  # queue-capacity overflow (no reference analog)
+    num_incomplete: jnp.ndarray  # rays truncated by the traversal iteration ladder
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +213,13 @@ def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -
     )
 
 
-def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig) -> Hits:
-    """Closest hit over spheres -> planes -> two-level BVH (Scene.cpp:173-177)."""
+def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig):
+    """Closest hit over spheres -> planes -> two-level BVH (Scene.cpp:173-177).
+
+    Returns (Hits, incomplete): the count of rays whose traversal budget ran out.
+    """
     n = rays.count
+    incomplete = jnp.int32(0)
     hits = intersect.make_miss_hits(n)
     for i in range(scene.n_spheres):
         hits = intersect.sphere_trace(
@@ -237,8 +242,9 @@ def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig) -> Hits:
             )
         )
         hits = _mesh_hits_into(scene, rays, res, hits)
+        incomplete = res.incomplete
     # lanes outside the wavefront are misses
-    return hits._replace(hit=hits.hit & active)
+    return hits._replace(hit=hits.hit & active), incomplete
 
 
 def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
@@ -289,7 +295,8 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
     """Trace + shade one generation; returns (fb, child candidates or None, stats)."""
     rays = gen.rays
     n = rays.count
-    hits = trace_scene(scene, bvh, rays, gen.active, cfg)
+    hits, incomplete = trace_scene(scene, bvh, rays, gen.active, cfg)
+    stats = stats._replace(num_incomplete=stats.num_incomplete + incomplete)
     hit = hits.hit
 
     if cfg.visualize_heatmap:
@@ -326,62 +333,72 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
     diffuse_mask = vm.length_squared(albedo) > 0.0
 
-    # direct lighting with shadow rays (Raytracer.cpp:143-201)
+    # direct lighting with shadow rays (Raytracer.cpp:143-201).  All lights' shadow
+    # rays are batched into ONE any-hit traversal of L*N rays — one traversal
+    # program instead of one per light, with the same per-ray work.
     to_camera = vm.normalize(scene.cam_pos[None, :] - hits.point, eps=1e-20)
     light_acc = jnp.full((n, 3), 0.0, jnp.float32) + scene.ambient
     shadow_active = diffuse_mask  # already implies hit
     inf = jnp.full((n,), jnp.inf, jnp.float32)
 
-    for i in range(scene.n_point_lights):
-        to_l = scene.pl_pos[i][None, :] - hits.point
-        d2 = vm.length_squared(to_l)
-        dist = jnp.sqrt(d2)
-        to_l = to_l / dist[:, None]
+    n_lights = (
+        scene.n_point_lights + scene.n_spot_lights + scene.n_directional_lights
+    )
+    if n_lights:
+        dirs, dists, contribs = [], [], []
+        for i in range(scene.n_point_lights):
+            to_l = scene.pl_pos[i][None, :] - hits.point
+            d2 = vm.length_squared(to_l)
+            dist = jnp.sqrt(d2)
+            to_l = to_l / dist[:, None]
+            dirs.append(to_l)
+            dists.append(dist)
+            contribs.append(
+                shading.point_light(
+                    hits.normal, to_l, to_camera, scene.pl_colour[i][None, :], d2
+                )
+            )
+        for i in range(scene.n_spot_lights):
+            to_l = scene.sl_pos[i][None, :] - hits.point
+            d2 = vm.length_squared(to_l)
+            dist = jnp.sqrt(d2)
+            to_l = to_l / dist[:, None]
+            dirs.append(to_l)
+            dists.append(dist)
+            contribs.append(
+                shading.spot_light(
+                    hits.normal, to_l, to_camera, scene.sl_colour[i][None, :], d2,
+                    scene.sl_neg_dir[i][None, :], scene.sl_inner[i],
+                    scene.sl_outer[i],
+                )
+            )
+        for i in range(scene.n_directional_lights):
+            neg_dir = jnp.broadcast_to(scene.dl_neg_dir[i], hits.point.shape)
+            dirs.append(neg_dir)
+            dists.append(inf)
+            contribs.append(
+                shading.directional_light(
+                    hits.normal, to_camera, scene.dl_colour[i][None, :],
+                    scene.dl_neg_dir[i],
+                )
+            )
+        origin_all = jnp.tile(hits.point, (n_lights, 1))
         blocked = intersect_scene(
-            scene, bvh, hits.point, to_l, dist, shadow_active, cfg
-        )
-        contrib = shading.point_light(
-            hits.normal, to_l, to_camera, scene.pl_colour[i][None, :], d2
-        )
-        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
+            scene,
+            bvh,
+            origin_all,
+            jnp.concatenate(dirs, axis=0),
+            jnp.concatenate(dists, axis=0),
+            jnp.tile(shadow_active, n_lights),
+            cfg,
+        ).reshape(n_lights, n)
+        for li in range(n_lights):
+            light_acc = light_acc + jnp.where(
+                (shadow_active & ~blocked[li])[:, None], contribs[li], 0.0
+            )
         stats = stats._replace(
-            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
-        )
-
-    for i in range(scene.n_spot_lights):
-        to_l = scene.sl_pos[i][None, :] - hits.point
-        d2 = vm.length_squared(to_l)
-        dist = jnp.sqrt(d2)
-        to_l = to_l / dist[:, None]
-        blocked = intersect_scene(
-            scene, bvh, hits.point, to_l, dist, shadow_active, cfg
-        )
-        contrib = shading.spot_light(
-            hits.normal,
-            to_l,
-            to_camera,
-            scene.sl_colour[i][None, :],
-            d2,
-            scene.sl_neg_dir[i][None, :],
-            scene.sl_inner[i],
-            scene.sl_outer[i],
-        )
-        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
-        stats = stats._replace(
-            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
-        )
-
-    for i in range(scene.n_directional_lights):
-        neg_dir = jnp.broadcast_to(scene.dl_neg_dir[i], hits.point.shape)
-        blocked = intersect_scene(
-            scene, bvh, hits.point, neg_dir, inf, shadow_active, cfg
-        )
-        contrib = shading.directional_light(
-            hits.normal, to_camera, scene.dl_colour[i][None, :], scene.dl_neg_dir[i]
-        )
-        light_acc = light_acc + jnp.where((shadow_active & ~blocked)[:, None], contrib, 0.0)
-        stats = stats._replace(
-            num_shadow=stats.num_shadow + jnp.sum(shadow_active.astype(jnp.int32))
+            num_shadow=stats.num_shadow
+            + n_lights * jnp.sum(shadow_active.astype(jnp.int32))
         )
 
     fb = fb.at[gen.pixel].add(w * albedo * light_acc)
@@ -510,6 +527,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
         num_reflection=jnp.int32(0),
         num_refraction=jnp.int32(0),
         num_dropped=jnp.int32(0),
+        num_incomplete=jnp.int32(0),
     )
 
     has_mesh = scene.n_instances > 0

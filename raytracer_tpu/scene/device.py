@@ -38,6 +38,7 @@ class DeviceScene(NamedTuple):
     tl_left: object  # [Mt] int32: internal -> left child; leaf -> instance id
     tl_count: object  # [Mt] int32
     tl_axis: object  # [Mt] int32
+    tl_links: object  # [8,Mt,2] int32 threaded near/skip links (accel/links.py)
     # mesh instances (Mesh.h)
     inst_world: object  # [I,3,4]
     inst_inv: object  # [I,3,4]
@@ -48,6 +49,7 @@ class DeviceScene(NamedTuple):
     nd_left: object  # [M] int32 (globalized; leaf -> first global triangle)
     nd_count: object  # [M] int32
     nd_axis: object  # [M] int32
+    nd_links: object  # [8,M,2] int32 threaded links (BLAS-concat local + offsets)
     # flattened leaf-ordered triangles (TriangleHot/TriangleCold)
     tr_p0: object
     tr_e1: object
@@ -134,7 +136,7 @@ class ScenePacker:
         desc = self.desc
         keys = sorted(desc.blas_registry.keys())
         self.node_base: dict = {}
-        nd, tr = [], []
+        nd, tr, links = [], [], []
         node_off = 0
         tri_off = 0
         for k in keys:
@@ -145,6 +147,9 @@ class ScenePacker:
             nd.append(
                 (b.node_min, b.node_max, left.astype(np.int32), b.node_count, b.node_axis)
             )
+            # threaded links: offset in-BLAS node targets; keep sentinels (<0)
+            lk = np.where(b.links >= 0, b.links + node_off, b.links).astype(np.int32)
+            links.append(lk)
             mat_off = desc.blas_material_offsets[k]
             tr.append((b, (b.tri_material + mat_off).astype(np.int32)))
             node_off += b.node_min.shape[0]
@@ -170,6 +175,11 @@ class ScenePacker:
             "nd_left": cat(2, np.int32),
             "nd_count": cat(3, np.int32),
             "nd_axis": cat(4, np.int32),
+            "nd_links": (
+                np.concatenate(links, axis=1).astype(np.int32)
+                if links
+                else np.zeros((8, 0, 2), np.int32)
+            ),
         }
         for f in ("tr_p0", "tr_e1", "tr_e2", "tr_n0", "tr_ne1", "tr_ne2"):
             out[f] = cat_tr(f[3:] if False else "tri_" + f[3:], np.float32, 3)
@@ -254,7 +264,15 @@ class ScenePacker:
                 is_leaf, tlas.prim_order[np.minimum(tlas.node_left, n_inst - 1)],
                 tlas.node_left,
             ).astype(np.int32)
-            tl = (tlas.node_min, tlas.node_max, tl_left, tlas.node_count, tlas.node_axis)
+            from ..accel.links import DONE, compute_links
+
+            tl_links = compute_links(
+                tlas.node_left, tlas.node_count, tlas.node_axis, exit_sentinel=DONE
+            )
+            tl = (
+                tlas.node_min, tlas.node_max, tl_left, tlas.node_count,
+                tlas.node_axis, tl_links,
+            )
         else:
             tl = (
                 np.zeros((0, 3), np.float32),
@@ -262,6 +280,7 @@ class ScenePacker:
                 np.zeros((0,), np.int32),
                 np.zeros((0,), np.int32),
                 np.zeros((0,), np.int32),
+                np.zeros((8, 0, 2), np.int32),
             )
 
         # analytic primitives
@@ -311,6 +330,7 @@ class ScenePacker:
             tl_left=jnp.asarray(tl[2]),
             tl_count=jnp.asarray(tl[3]),
             tl_axis=jnp.asarray(tl[4]),
+            tl_links=jnp.asarray(tl[5]),
             inst_world=jnp.asarray(inst_world),
             inst_inv=jnp.asarray(inst_inv),
             inst_root=jnp.asarray(inst_root),
@@ -319,6 +339,7 @@ class ScenePacker:
             nd_left=s["nd_left"],
             nd_count=s["nd_count"],
             nd_axis=s["nd_axis"],
+            nd_links=s["nd_links"],
             tr_p0=s["tr_p0"],
             tr_e1=s["tr_e1"],
             tr_e2=s["tr_e2"],
