@@ -21,7 +21,7 @@ from ..config import MeshAccelerator
 from ..scene.meshgen import MeshData
 from .bvh import BVH, build_bvh, triangle_bounds
 
-_BUILDER_VERSION = 4  # bump to invalidate cached BVHs
+_BUILDER_VERSION = 5  # bump to invalidate cached BVHs
 
 
 @dataclasses.dataclass
@@ -118,14 +118,22 @@ def build_blas(
         bvh.node_left, bvh.node_count, bvh.node_axis, exit_sentinel=BLAS_EXIT
     )
 
+    # Pair-pad leaf ranges: every leaf's triangle range starts even and has even
+    # length (odd leaves duplicate their last triangle — harmless for closest- and
+    # any-hit), so traversal can test triangles two-per-step from fused pair
+    # records with one gather.
+    node_left, node_count, order = _pad_leaf_pairs(
+        bvh.node_left.copy(), bvh.node_count.copy(), order
+    )
+
     # flatten(): copy triangles into leaf order, dropping the index indirection
     # (BottomLevelBVH.cpp:196-212); SBVH reference duplication falls out naturally.
     p0 = mesh.p0[order]
     blas = Blas(
         node_min=bvh.node_min,
         node_max=bvh.node_max,
-        node_left=bvh.node_left,
-        node_count=bvh.node_count,
+        node_left=node_left,
+        node_count=node_count,
         node_axis=bvh.node_axis,
         tri_p0=p0,
         tri_e1=mesh.p1[order] - p0,
@@ -153,6 +161,30 @@ def build_blas(
         )
     _blas_memory_cache[key] = blas
     return blas
+
+
+def _pad_leaf_pairs(node_left, node_count, order):
+    """Rewrite leaf ranges so each starts even with even length (vectorized)."""
+    is_leaf = node_count > 0
+    leaf_ids = np.where(is_leaf)[0]
+    # leaves partition [0, len(order)) contiguously; process in range order
+    leaf_ids = leaf_ids[np.argsort(node_left[leaf_ids], kind="stable")]
+    counts = node_count[leaf_ids].astype(np.int64)
+    firsts = node_left[leaf_ids].astype(np.int64)
+    new_counts = counts + (counts & 1)
+    new_firsts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+
+    total = int(new_counts.sum())
+    seg_start = np.repeat(new_firsts, new_counts)
+    within = np.arange(total) - seg_start
+    src = np.repeat(firsts, new_counts) + np.minimum(
+        within, np.repeat(counts, new_counts) - 1
+    )
+    new_order = np.asarray(order)[src]
+
+    node_left[leaf_ids] = new_firsts.astype(node_left.dtype)
+    node_count[leaf_ids] = new_counts.astype(node_count.dtype)
+    return node_left, node_count, new_order.astype(np.int32)
 
 
 def _build_plain(mesh: MeshData) -> BVH:

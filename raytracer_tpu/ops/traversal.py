@@ -25,12 +25,15 @@ Mesh::trace -> BottomLevelBVH.cpp:348-437) for the TPU execution model:
   and transforms the ray into object space once (Mesh.cpp:17-31); the BLAS exit
   sentinel restores the world ray and continues at ``resume``.
 
-* **Fused records.**  Node geometry is one [U,8] row gather (min, max,
-  bitcast(left/first), bitcast(kind|count<<2)); links one [8U,2] row; triangles one
-  [T,9] row; instance matrices one [I+1,12] row — minimizing gather ops per step.
+* **Fused records, minimal gathers.**  Gathers cost ~17ns per index on this
+  hardware regardless of row width (measured), so each step does at most TWO row
+  gathers: one [8U,12] octant-major record fusing node geometry + that octant's
+  links, and one [T/2,18] triangle-PAIR record (two Moller-Trumbore tests per
+  gather; leaf ranges are pair-padded by the BLAS flatten).  Instance matrices and
+  roots are resolved by one-hot matmuls on the MXU instead of gathers.
 
-Leaf triangles are drained one per step through a (tri_i, tri_end) cursor while the
-node pointer waits, so leaf size is unbounded and control flow stays uniform.
+Leaf triangle pairs are drained one per step through a (tri_i, tri_end) cursor while
+the node pointer waits, so leaf size is unbounded and control flow stays uniform.
 
 Traversal is geometry-discrete: it returns hit ids + (t, u, v, steps) and is wrapped
 in stop_gradient by the renderer; differentiable hit attributes are reconstructed
@@ -51,25 +54,35 @@ from . import intersect
 
 
 class SceneBVH(NamedTuple):
-    """Unified per-frame traversal structure: [TLAS | concatenated BLASes]."""
+    """Unified per-frame traversal structure: [TLAS | concatenated BLASes].
 
-    node_rec: jnp.ndarray  # [U,8] f32: min3 | max3 | bits(left/first/inst) | bits(meta)
-    links: jnp.ndarray  # [8*U,2] i32: (near, skip) per octant-major node
+    oct_rec fuses node geometry with that octant's links so a traversal step costs
+    ONE row gather: [8U, 12] = min3 | max3 | left/first/inst | meta | near | skip |
+    pad2, with integer fields stored as exact float32 values (< 2^24).  Instance
+    matrices/roots are applied by one-hot matmul (MXU) instead of gathers —
+    instance counts are small.
+    """
+
+    oct_rec: jnp.ndarray  # [8*U, 12] f32 octant-major fused node records
     inst_mat: jnp.ndarray  # [I+1,12] f32 inverse instance matrices (slot 0 identity)
-    inst_root: jnp.ndarray  # [I] i32 global BLAS root node per instance
-    tri_rec: jnp.ndarray  # [T,9] f32: p0 | e1 | e2
+    inst_root: jnp.ndarray  # [I+1] f32 global BLAS root per instance (slot 0 = 0)
+    tri_rec: jnp.ndarray  # [Tp/2, 18] f32 triangle PAIRS: p0|e1|e2 x2
 
     @property
     def n_nodes(self) -> int:
-        return self.node_rec.shape[0]
+        return self.oct_rec.shape[0] // 8
 
 
-def _bits_to_f32(x):
-    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+def _i2f(x):
+    """Store integers as exact float32 VALUES (not bitcasts): the TPU pipeline
+    canonicalizes NaNs / flushes denormals, so int bit patterns smuggled through
+    float arrays get corrupted.  All encoded ids are < 2^24 and round-trip
+    exactly; packers assert the bound."""
+    return x.astype(jnp.float32)
 
 
-def _f32_to_bits(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+def _f2i(x):
+    return x.astype(jnp.int32)
 
 
 def build_scene_bvh(scene) -> SceneBVH:
@@ -79,6 +92,9 @@ def build_scene_bvh(scene) -> SceneBVH:
     per-frame TLAS; shapes are static per scene so jit caches the program.
     """
     n_tlas = scene.tl_min.shape[0]
+    # integer fields ride in float32 lanes as exact values; enforce the bound
+    assert n_tlas + scene.nd_min.shape[0] < (1 << 24), "node count exceeds 2^24"
+    assert scene.tr_p0.shape[0] < (1 << 24), "triangle count exceeds 2^24"
 
     # ---- node records ----
     tl_internal = scene.tl_count == 0
@@ -97,29 +113,41 @@ def build_scene_bvh(scene) -> SceneBVH:
     meta = kind | (count << 2)
 
     node_rec = jnp.concatenate(
-        [node_min, node_max, _bits_to_f32(left)[:, None], _bits_to_f32(meta)[:, None]],
+        [node_min, node_max, _i2f(left)[:, None], _i2f(meta)[:, None]],
         axis=1,
-    )
+    )  # [U, 8]
 
-    # ---- links: globalize and concatenate per octant ----
+    # ---- links: globalize and fuse into octant-major records ----
     tl_links = scene.tl_links  # [8,Mt,2], internal targets are TLAS-local (== global)
     bl_links = scene.nd_links  # [8,M,2], BLAS-local with BLAS_EXIT sentinels
     bl_links = jnp.where(bl_links >= 0, bl_links + n_tlas, bl_links)
     links = jnp.concatenate([tl_links, bl_links], axis=1)  # [8,U,2]
-    links = links.reshape(-1, 2)
+
+    u = node_rec.shape[0]
+    oct_rec = jnp.concatenate(
+        [
+            jnp.broadcast_to(node_rec[None], (8, u, 8)),
+            _i2f(links),
+            jnp.zeros((8, u, 2), jnp.float32),  # pad rows to 12 floats
+        ],
+        axis=2,
+    ).reshape(8 * u, 12)
 
     identity = jnp.concatenate(
         [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], axis=1
     )
     inst_mat = jnp.concatenate([identity[None], scene.inst_inv], axis=0).reshape(-1, 12)
+    inst_root = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), (scene.inst_root + n_tlas).astype(jnp.float32)]
+    )
 
     tri_rec = jnp.concatenate([scene.tr_p0, scene.tr_e1, scene.tr_e2], axis=1)
+    tri_rec = tri_rec.reshape(-1, 18)  # pairs (leaf ranges are pair-padded)
 
     return SceneBVH(
-        node_rec=node_rec,
-        links=links,
+        oct_rec=oct_rec,
         inst_mat=inst_mat,
-        inst_root=scene.inst_root + n_tlas,
+        inst_root=inst_root,
         tri_rec=tri_rec,
     )
 
@@ -221,18 +249,27 @@ def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
     inv_d = jnp.where(e3, 1.0 / s.d_w, s.inv_d)
     oct_ = jnp.where(exiting, _octant(s.d_w), s.oct)
 
-    # ---- triangle phase: one Moller-Trumbore test per ray with leaf work ----
-    ti = jnp.where(has_tri, s.tri_i, 0)
-    trec = jnp.take(bvh.tri_rec, ti, axis=0)
-    hit, t, u, v = intersect.triangle_hit(
+    # ---- triangle phase: one PAIR of Moller-Trumbore tests per ray ----
+    pi = jnp.where(has_tri, s.tri_i, 0)  # pair index
+    trec = jnp.take(bvh.tri_rec, pi, axis=0)
+    hit0, t0, u0, v0 = intersect.triangle_hit(
         o, d, trec[:, 0:3], trec[:, 3:6], trec[:, 6:9], s.t_best
     )
-    hit = hit & has_tri
-    t_best = jnp.where(hit, t, s.t_best)
-    best_tri = jnp.where(hit, ti, s.best_tri)
+    hit0 = hit0 & has_tri
+    t_best = jnp.where(hit0, t0, s.t_best)
+    best_tri = jnp.where(hit0, pi * 2, s.best_tri)
+    best_u = jnp.where(hit0, u0, s.best_u)
+    best_v = jnp.where(hit0, v0, s.best_v)
+    hit1, t1, u1, v1 = intersect.triangle_hit(
+        o, d, trec[:, 9:12], trec[:, 12:15], trec[:, 15:18], t_best
+    )
+    hit1 = hit1 & has_tri
+    t_best = jnp.where(hit1, t1, t_best)
+    best_tri = jnp.where(hit1, pi * 2 + 1, best_tri)
+    best_u = jnp.where(hit1, u1, best_u)
+    best_v = jnp.where(hit1, v1, best_v)
+    hit = hit0 | hit1
     best_inst = jnp.where(hit, inst, s.best_inst)
-    best_u = jnp.where(hit, u, s.best_u)
-    best_v = jnp.where(hit, v, s.best_v)
     found = s.found | hit
     tri_i = s.tri_i + has_tri.astype(jnp.int32)
 
@@ -241,17 +278,15 @@ def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
     if any_hit:
         do_node = do_node & ~found
     nidx = jnp.where(do_node, cur, 0)
-    nrec = jnp.take(bvh.node_rec, nidx, axis=0)
+    nrec = jnp.take(bvh.oct_rec, oct_ * n_nodes + nidx, axis=0)
     nmin = nrec[:, 0:3]
     nmax = nrec[:, 3:6]
-    left = _f32_to_bits(nrec[:, 6])
-    meta = _f32_to_bits(nrec[:, 7])
+    left = _f2i(nrec[:, 6])
+    meta = _f2i(nrec[:, 7])
+    near = _f2i(nrec[:, 8])
+    skip = _f2i(nrec[:, 9])
     kind = meta & 3
     count = meta >> 2
-
-    lrow = jnp.take(bvh.links, oct_ * n_nodes + nidx, axis=0)
-    near = lrow[:, 0]
-    skip = lrow[:, 1]
 
     box_hit = intersect.aabb_hit(o, inv_d, nmin, nmax, t_best) & do_node
 
@@ -261,17 +296,22 @@ def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
 
     nxt = jnp.where(is_int, near, skip)
 
-    # BLAS leaf -> arm the triangle cursor (left = first global triangle)
-    tri_i = jnp.where(is_bl, left, tri_i)
-    tri_end = jnp.where(is_bl, left + count, s.tri_end)
+    # BLAS leaf -> arm the pair cursor (left = first global triangle, pair-aligned)
+    tri_i = jnp.where(is_bl, left >> 1, tri_i)
+    tri_end = jnp.where(is_bl, (left + count) >> 1, s.tri_end)
 
-    # TLAS leaf -> enter the instance: save continuation, transform the ray
+    # TLAS leaf -> enter the instance: save continuation, transform the ray.
+    # Instance matrix and BLAS root come from one-hot matmuls (MXU) rather than
+    # gathers — instance counts are tiny.
     inst_id = left  # for kind==1
-    root = jnp.take(bvh.inst_root, jnp.clip(inst_id, 0, None), axis=0)
+    hot = jax.nn.one_hot(
+        jnp.where(is_tl, inst_id + 1, 0), bvh.inst_mat.shape[0], dtype=jnp.float32
+    )
+    root = jnp.round(hot @ bvh.inst_root).astype(jnp.int32)
+    mrow = hot @ bvh.inst_mat
     nxt = jnp.where(is_tl, root, nxt)
     resume = jnp.where(is_tl, skip, resume)
     inst = jnp.where(is_tl, inst_id, inst)
-    mrow = jnp.take(bvh.inst_mat, jnp.where(is_tl, inst_id + 1, 0), axis=0)
     o_new = _mat_apply(mrow, s.o_w, translate=True)
     d_new = _mat_apply(mrow, s.d_w, translate=False)
     t3 = is_tl[:, None]
