@@ -1,36 +1,39 @@
-"""Benchmark: Mrays/s/chip fwd+bwd on the Sponza-class workload (BASELINE.json north
-star).
+"""Benchmark: Mrays/s/chip on the Sponza-class workload (BASELINE.json north star).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no absolute numbers (BASELINE.md); vs_baseline is computed
-against a documented estimate of the reference on its default workload: a modest
-8-core AVX2 CPU running Sponza 900x600x(1+3 bounces) at ~30 fps traces roughly
-40 MRays/s total (primary + shadow + secondary, Main.cpp:87-95 definitions).
+Measures the fwd+bwd step (gradients of the image loss w.r.t. scene parameters)
+when it compiles within the time budget; otherwise falls back to forward-only and
+says so in the metric string.  The reference publishes no absolute numbers
+(BASELINE.md); vs_baseline is computed against a documented estimate of the
+reference on its default workload: a modest 8-core AVX2 CPU running Sponza
+900x600x(1+3 bounces) at ~30 fps traces roughly 40 MRays/s total
+(primary + shadow + secondary, Main.cpp:87-95 definitions).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
-import numpy as np
 
 REFERENCE_MRAYS_ESTIMATE = 40.0
 
-# Keep the real chip for the benchmark; never steal it for scene prep.
-os.environ.setdefault("XLA_FLAGS", "")
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout()
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from raytracer_tpu.diff.train import (
-        apply_params,
-        extract_params,
-        image_loss,
-    )
+    from raytracer_tpu.diff.train import apply_params, extract_params, image_loss
     from raytracer_tpu.render import renderer
     from raytracer_tpu.scene import scenes
     from raytracer_tpu.scene.device import ScenePacker
@@ -39,58 +42,89 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     tris = int(os.environ.get("BENCH_TRIS", "260000"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    bwd_timeout = int(os.environ.get("BENCH_BWD_TIMEOUT", "900"))
 
     t0 = time.time()
     desc, cfg = scenes.config3_sponza(width, height, target_triangles=tris)
     packer = ScenePacker(desc, cfg.width, cfg.height)
     scene = packer.frame()
-    build_s = time.time() - t0
-    print(f"# scene ready in {build_s:.1f}s: {desc.triangle_count} tris, "
-          f"{cfg.width}x{cfg.height}, {cfg.num_bounces} bounces", file=sys.stderr)
+    print(
+        f"# scene ready in {time.time() - t0:.1f}s: {desc.triangle_count} tris, "
+        f"{cfg.width}x{cfg.height}, {cfg.num_bounces} bounces",
+        file=sys.stderr,
+    )
 
-    # fwd+bwd: gradient of the image loss w.r.t. scene parameters
-    params = extract_params(scene)
-    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-
-    def loss_fn(p):
-        img, _ = renderer.render_with_stats(apply_params(scene, p), cfg)
-        return image_loss(img, target)
-
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    stats_fn = jax.jit(lambda s: renderer.render_with_stats(s, cfg)[1])
-
-    # compile + ray accounting
+    # ---- forward: compile + ray accounting ----
+    fwd = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
     t0 = time.time()
-    stats = jax.tree_util.tree_map(int, jax.device_get(stats_fn(scene)))
-    loss, grads = grad_fn(params)
-    jax.block_until_ready(grads)
-    print(f"# compile+first-run {time.time() - t0:.1f}s, loss={float(loss):.5f}",
-          file=sys.stderr)
-
+    img, stats = fwd(scene)
+    loss0 = float(img.mean())  # forces completion through the tunnel
+    stats = jax.tree_util.tree_map(int, jax.device_get(stats))
+    print(
+        f"# fwd compile+run {time.time() - t0:.1f}s (mean {loss0:.5f}, "
+        f"incomplete {stats.num_incomplete})",
+        file=sys.stderr,
+    )
     total_rays = (
         stats.num_primary + stats.num_shadow + stats.num_reflection
         + stats.num_refraction
     )
 
-    times = []
-    for _ in range(iters):
+    def time_best(fn, sync):
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = fn()
+            sync(out)
+            times.append(time.time() - t0)
+        return min(times)
+
+    fwd_s = time_best(lambda: fwd(scene), lambda o: float(o[0].mean()))
+    print(f"# fwd step {fwd_s*1e3:.1f} ms", file=sys.stderr)
+
+    # ---- fwd+bwd with a compile-time budget ----
+    mode = "fwd+bwd"
+    step_s = None
+    try:
+        params = extract_params(scene)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        def loss_fn(p):
+            image, _ = renderer.render_with_stats(apply_params(scene, p), cfg)
+            return image_loss(image, target)
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(bwd_timeout)
         t0 = time.time()
         loss, grads = grad_fn(params)
         jax.block_until_ready(grads)
-        times.append(time.time() - t0)
-    step_s = min(times)
+        signal.alarm(0)
+        print(f"# bwd compile+run {time.time() - t0:.1f}s, loss={float(loss):.6f}",
+              file=sys.stderr)
+        step_s = time_best(
+            lambda: grad_fn(params), lambda o: jax.block_until_ready(o[1])
+        )
+        print(f"# fwd+bwd step {step_s*1e3:.1f} ms", file=sys.stderr)
+    except _Timeout:
+        signal.alarm(0)
+        print("# bwd compile exceeded budget; reporting forward-only",
+              file=sys.stderr)
+        mode = "fwd"
+        step_s = fwd_s
+    except Exception as e:  # noqa: BLE001
+        signal.alarm(0)
+        print(f"# bwd failed ({type(e).__name__}: {e}); forward-only",
+              file=sys.stderr)
+        mode = "fwd"
+        step_s = fwd_s
 
     mrays = total_rays / step_s / 1e6
-    print(f"# fwd+bwd step {step_s*1e3:.1f} ms, {total_rays} rays "
-          f"({stats.num_primary} primary / {stats.num_shadow} shadow / "
-          f"{stats.num_reflection} refl / {stats.num_refraction} refr)",
-          file=sys.stderr)
-
     print(json.dumps({
-        "metric": "Mrays/s/chip fwd+bwd, Sponza-class 1080p",
-        "value": round(mrays, 2),
+        "metric": f"Mrays/s/chip {mode}, Sponza-class {height}p",
+        "value": round(mrays, 3),
         "unit": "MRays/s",
-        "vs_baseline": round(mrays / REFERENCE_MRAYS_ESTIMATE, 3),
+        "vs_baseline": round(mrays / REFERENCE_MRAYS_ESTIMATE, 4),
     }))
 
 

@@ -99,10 +99,11 @@ class RenderConfig:
     # larger step budget.  Rays exceeding the total budget are counted as
     # `incomplete` in the render stats.
     traversal_rounds: tuple = (
-        (1.0, 128),
-        (0.25, 256),
-        (1.0 / 16, 512),
-        (1.0 / 64, 2048),
+        (1.0, 64),
+        (0.25, 128),
+        (1.0 / 16, 256),
+        (1.0 / 64, 1024),
+        (1.0 / 256, 4096),
     )
     # unroll factor of the inner fori_loop (amortizes loop overhead)
     traversal_unroll: int = 1

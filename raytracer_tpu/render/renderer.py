@@ -345,6 +345,10 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
         scene.n_point_lights + scene.n_spot_lights + scene.n_directional_lights
     )
     if n_lights:
+        # Shadow rays are only traced where the light could contribute at all
+        # (front-facing, inside the spot cone): a zero Blinn-Phong term makes the
+        # shadow result irrelevant (Light.h:15-19), so culling is result-identical
+        # and skips most of the any-hit work.
         dirs, dists, contribs = [], [], []
         for i in range(scene.n_point_lights):
             to_l = scene.pl_pos[i][None, :] - hits.point
@@ -383,13 +387,16 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
                 )
             )
         origin_all = jnp.tile(hits.point, (n_lights, 1))
+        contrib_mask = jnp.stack(
+            [vm.length_squared(c) > 0.0 for c in contribs], axis=0
+        )  # [L,N]
         blocked = intersect_scene(
             scene,
             bvh,
             origin_all,
             jnp.concatenate(dirs, axis=0),
             jnp.concatenate(dists, axis=0),
-            jnp.tile(shadow_active, n_lights),
+            jnp.tile(shadow_active, n_lights) & contrib_mask.reshape(-1),
             cfg,
         ).reshape(n_lights, n)
         for li in range(n_lights):
@@ -398,7 +405,9 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
             )
         stats = stats._replace(
             num_shadow=stats.num_shadow
-            + n_lights * jnp.sum(shadow_active.astype(jnp.int32))
+            + jnp.sum(
+                (shadow_active[None, :] & contrib_mask).astype(jnp.int32)
+            )
         )
 
     fb = fb.at[gen.pixel].add(w * albedo * light_acc)
