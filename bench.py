@@ -17,6 +17,10 @@ import signal
 import sys
 import time
 
+# persistent XLA compile cache: tunnel compiles are minutes-long; repeat bench
+# runs (the driver runs this every round) reuse them
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 REFERENCE_MRAYS_ESTIMATE = 40.0
 

@@ -93,8 +93,9 @@ def build_scene_bvh(scene) -> SceneBVH:
     """
     n_tlas = scene.tl_min.shape[0]
     # integer fields ride in float32 lanes as exact values; enforce the bound
-    assert n_tlas + scene.nd_min.shape[0] < (1 << 24), "node count exceeds 2^24"
-    assert scene.tr_p0.shape[0] < (1 << 24), "triangle count exceeds 2^24"
+    assert n_tlas + scene.nd_min.shape[0] < (1 << 22), "node count exceeds 2^22"
+    assert scene.tr_p0.shape[0] < (1 << 22), "triangle count exceeds 2^22"
+    assert scene.inst_root.shape[0] < 255, "instance count exceeds 255"
 
     # ---- node records ----
     tl_internal = scene.tl_count == 0
@@ -156,9 +157,7 @@ class TraceResult(NamedTuple):
     t: jnp.ndarray  # [N] closest hit distance (inf = miss)
     tri: jnp.ndarray  # [N] i32 global triangle id (-1 = miss)
     inst: jnp.ndarray  # [N] i32 instance id (-1 = miss)
-    u: jnp.ndarray  # [N]
-    v: jnp.ndarray  # [N]
-    steps: jnp.ndarray  # [N] i32 node visits (heatmap counter, RayHit.h:24-26)
+    steps: jnp.ndarray  # [N] i32 node visits (heatmap; zeros unless tracked)
     incomplete: jnp.ndarray  # [] i32 rays truncated by the iteration ladder
 
 
@@ -179,108 +178,102 @@ def _mat_apply(rows, p, translate):
     return out
 
 
-class _State(NamedTuple):
-    cur: jnp.ndarray  # [N] node pointer (DONE / BLAS_EXIT sentinels)
-    resume: jnp.ndarray  # [N] saved TLAS continuation while inside a BLAS
-    inst: jnp.ndarray  # [N] current instance (-1 = world/TLAS)
-    oct: jnp.ndarray  # [N] current-space direction octant
-    o: jnp.ndarray  # [N,3] current-space origin
-    d: jnp.ndarray  # [N,3]
-    inv_d: jnp.ndarray  # [N,3]
-    o_w: jnp.ndarray  # [N,3] world ray (restored on BLAS exit)
-    d_w: jnp.ndarray
-    tri_i: jnp.ndarray  # [N] leaf cursor
-    tri_end: jnp.ndarray
-    t_best: jnp.ndarray
-    best_tri: jnp.ndarray
-    best_inst: jnp.ndarray
-    best_u: jnp.ndarray
-    best_v: jnp.ndarray
-    steps: jnp.ndarray
-    found: jnp.ndarray  # [N] any-hit flag
+# ---------------------------------------------------------------------------
+# Packed wavefront state: 4-6 loop-carried [N] arrays.
+#
+# The object-space ray is NOT carried: it is recomputed each step from the packed
+# instance id via a one-hot MXU matmul (instance counts are tiny), which keeps the
+# fori-loop carry, the compile size, and the ladder-compaction cost minimal.
+#
+# Encodings (all < 2^31; bounds asserted in build_scene_bvh):
+#   ri     = (resume + 1) << 8 | (inst + 1)      resume < 2^22, inst < 255
+#   cursor = pair_index << 4 | pairs_remaining   pairs_remaining <= 15
+#   best   = tri << 8 | (inst + 1), or -1        tri < 2^22
+# ---------------------------------------------------------------------------
 
 
-def _init_state(o, d, t_init, active) -> _State:
-    n = o.shape[0]
+def _transform_rays(bvh: SceneBVH, ri, o_w, d_w):
+    """Current-space ray from the packed instance id (one-hot MXU matmul)."""
+    inst = (ri & 255) - 1
+    hot = jax.nn.one_hot(inst + 1, bvh.inst_mat.shape[0], dtype=jnp.float32)
+    mrow = hot @ bvh.inst_mat
+    o = _mat_apply(mrow, o_w, translate=True)
+    d = _mat_apply(mrow, d_w, translate=False)
+    return o, d, inst
+
+
+def _init_state(t_init, active, any_hit: bool, track_steps: bool) -> dict:
+    n = t_init.shape[0]
     i32 = lambda v: jnp.full((n,), v, jnp.int32)  # noqa: E731
-    return _State(
+    s = dict(
         cur=jnp.where(active, 0, DONE).astype(jnp.int32),
-        resume=i32(DONE),
-        inst=i32(-1),
-        oct=_octant(d),
-        o=o,
-        d=d,
-        inv_d=1.0 / d,
-        o_w=o,
-        d_w=d,
-        tri_i=i32(0),
-        tri_end=i32(0),
-        t_best=t_init,
-        best_tri=i32(-1),
-        best_inst=i32(-1),
-        best_u=jnp.zeros((n,), jnp.float32),
-        best_v=jnp.zeros((n,), jnp.float32),
-        steps=i32(0),
-        found=jnp.zeros((n,), bool),
+        ri=i32(0),  # resume = -1, inst = -1
+        cursor=i32(0),
     )
-
-
-def _alive(s: _State, any_hit: bool):
-    a = (s.cur >= 0) | (s.cur == BLAS_EXIT) | (s.tri_i < s.tri_end)
     if any_hit:
-        a = a & ~s.found
+        s["found"] = jnp.zeros((n,), bool)
+    else:
+        s["t_best"] = t_init
+        s["best"] = i32(-1)
+    if track_steps:
+        s["steps"] = i32(0)
+    return s
+
+
+def _alive(s: dict, any_hit: bool):
+    a = (s["cur"] >= 0) | (s["cur"] == BLAS_EXIT) | ((s["cursor"] & 15) > 0)
+    if any_hit:
+        a = a & ~s["found"]
     return a
 
 
-def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
+def _step(bvh: SceneBVH, s: dict, o_w, d_w, t_fixed, any_hit: bool) -> dict:
     n_nodes = bvh.n_nodes
-    has_tri = s.tri_i < s.tri_end
+    cursor = s["cursor"]
+    has_tri = (cursor & 15) > 0
     if any_hit:
-        has_tri = has_tri & ~s.found
+        has_tri = has_tri & ~s["found"]
+        t_best = t_fixed
+    else:
+        t_best = s["t_best"]
 
-    # ---- resolve BLAS exit: restore the world ray, continue at `resume` ----
-    exiting = (s.cur == BLAS_EXIT) & ~has_tri
-    cur = jnp.where(exiting, s.resume, s.cur)
-    resume = jnp.where(exiting, DONE, s.resume)
-    inst = jnp.where(exiting, -1, s.inst)
-    e3 = exiting[:, None]
-    o = jnp.where(e3, s.o_w, s.o)
-    d = jnp.where(e3, s.d_w, s.d)
-    inv_d = jnp.where(e3, 1.0 / s.d_w, s.inv_d)
-    oct_ = jnp.where(exiting, _octant(s.d_w), s.oct)
+    # ---- resolve BLAS exit BEFORE the transform so the ray is world-space ----
+    exiting = (s["cur"] == BLAS_EXIT) & ~has_tri
+    resume = (s["ri"] >> 8) - 1
+    cur = jnp.where(exiting, resume, s["cur"])
+    ri = jnp.where(exiting, 0, s["ri"])
 
-    # ---- triangle phase: one PAIR of Moller-Trumbore tests per ray ----
-    pi = jnp.where(has_tri, s.tri_i, 0)  # pair index
+    o, d, inst = _transform_rays(bvh, ri, o_w, d_w)
+    inv_d = 1.0 / d
+    oct_ = _octant(d)
+
+    # ---- triangle phase: one PAIR of Moller-Trumbore tests ----
+    pi = jnp.where(has_tri, cursor >> 4, 0)
     trec = jnp.take(bvh.tri_rec, pi, axis=0)
-    hit0, t0, u0, v0 = intersect.triangle_hit(
-        o, d, trec[:, 0:3], trec[:, 3:6], trec[:, 6:9], s.t_best
+    hit0, t0, _, _ = intersect.triangle_hit(
+        o, d, trec[:, 0:3], trec[:, 3:6], trec[:, 6:9], t_best
     )
     hit0 = hit0 & has_tri
-    t_best = jnp.where(hit0, t0, s.t_best)
-    best_tri = jnp.where(hit0, pi * 2, s.best_tri)
-    best_u = jnp.where(hit0, u0, s.best_u)
-    best_v = jnp.where(hit0, v0, s.best_v)
-    hit1, t1, u1, v1 = intersect.triangle_hit(
+    if not any_hit:
+        t_best = jnp.where(hit0, t0, t_best)
+    hit1, t1, _, _ = intersect.triangle_hit(
         o, d, trec[:, 9:12], trec[:, 12:15], trec[:, 15:18], t_best
     )
     hit1 = hit1 & has_tri
-    t_best = jnp.where(hit1, t1, t_best)
-    best_tri = jnp.where(hit1, pi * 2 + 1, best_tri)
-    best_u = jnp.where(hit1, u1, best_u)
-    best_v = jnp.where(hit1, v1, best_v)
     hit = hit0 | hit1
-    best_inst = jnp.where(hit, inst, s.best_inst)
-    found = s.found | hit
-    tri_i = s.tri_i + has_tri.astype(jnp.int32)
+    if not any_hit:
+        t_best = jnp.where(hit1, t1, t_best)
+        tri_id = jnp.where(hit1, pi * 2 + 1, pi * 2)
+        best = jnp.where(hit, (tri_id << 8) | (inst + 1), s["best"])
+    cursor = jnp.where(has_tri, cursor + 15, cursor)  # pi += 1, remaining -= 1
 
-    # ---- node phase: rays without leaf work follow the threaded links ----
+    # ---- node phase: follow the threaded links ----
     do_node = (~has_tri) & (cur >= 0)
     if any_hit:
+        found = s["found"] | hit
         do_node = do_node & ~found
     nidx = jnp.where(do_node, cur, 0)
     nrec = jnp.take(bvh.oct_rec, oct_ * n_nodes + nidx, axis=0)
-    nmin = nrec[:, 0:3]
-    nmax = nrec[:, 3:6]
     left = _f2i(nrec[:, 6])
     meta = _f2i(nrec[:, 7])
     near = _f2i(nrec[:, 8])
@@ -288,102 +281,93 @@ def _step(bvh: SceneBVH, s: _State, any_hit: bool) -> _State:
     kind = meta & 3
     count = meta >> 2
 
-    box_hit = intersect.aabb_hit(o, inv_d, nmin, nmax, t_best) & do_node
-
+    box_hit = intersect.aabb_hit(o, inv_d, nrec[:, 0:3], nrec[:, 3:6], t_best)
+    box_hit = box_hit & do_node
     is_int = box_hit & (kind == 0)
     is_tl = box_hit & (kind == 1)
     is_bl = box_hit & (kind == 2)
 
     nxt = jnp.where(is_int, near, skip)
 
-    # BLAS leaf -> arm the pair cursor (left = first global triangle, pair-aligned)
-    tri_i = jnp.where(is_bl, left >> 1, tri_i)
-    tri_end = jnp.where(is_bl, (left + count) >> 1, s.tri_end)
+    # BLAS leaf -> arm the pair cursor (left = first triangle, pair-aligned)
+    cursor = jnp.where(is_bl, ((left >> 1) << 4) | (count >> 1), cursor)
 
-    # TLAS leaf -> enter the instance: save continuation, transform the ray.
-    # Instance matrix and BLAS root come from one-hot matmuls (MXU) rather than
-    # gathers — instance counts are tiny.
-    inst_id = left  # for kind==1
+    # TLAS leaf -> enter the instance (one-hot root lookup); the entered root is
+    # tested next step, after the transform picks up the new instance id
+    inst_id = left
     hot = jax.nn.one_hot(
         jnp.where(is_tl, inst_id + 1, 0), bvh.inst_mat.shape[0], dtype=jnp.float32
     )
     root = jnp.round(hot @ bvh.inst_root).astype(jnp.int32)
-    mrow = hot @ bvh.inst_mat
     nxt = jnp.where(is_tl, root, nxt)
-    resume = jnp.where(is_tl, skip, resume)
-    inst = jnp.where(is_tl, inst_id, inst)
-    o_new = _mat_apply(mrow, s.o_w, translate=True)
-    d_new = _mat_apply(mrow, s.d_w, translate=False)
-    t3 = is_tl[:, None]
-    o = jnp.where(t3, o_new, o)
-    d = jnp.where(t3, d_new, d)
-    inv_d = jnp.where(t3, 1.0 / d_new, inv_d)
-    oct_ = jnp.where(is_tl, _octant(d_new), oct_)
+    ri = jnp.where(is_tl, ((skip + 1) << 8) | (inst_id + 1), ri)
 
-    cur = jnp.where(do_node, nxt, cur)
-
-    return _State(
-        cur=cur,
-        resume=resume,
-        inst=inst,
-        oct=oct_,
-        o=o,
-        d=d,
-        inv_d=inv_d,
-        o_w=s.o_w,
-        d_w=s.d_w,
-        tri_i=tri_i,
-        tri_end=tri_end,
-        t_best=t_best,
-        best_tri=best_tri,
-        best_inst=best_inst,
-        best_u=best_u,
-        best_v=best_v,
-        steps=s.steps + do_node.astype(jnp.int32),
-        found=found,
-    )
+    out = dict(s)
+    out["cur"] = jnp.where(do_node, nxt, cur)
+    out["ri"] = ri
+    out["cursor"] = cursor
+    if any_hit:
+        out["found"] = found
+    else:
+        out["t_best"] = t_best
+        out["best"] = best
+    if "steps" in s:
+        out["steps"] = s["steps"] + do_node.astype(jnp.int32)
+    return out
 
 
-def _run_rounds(bvh: SceneBVH, state: _State, cfg: RenderConfig, any_hit: bool):
+def _run_rounds(bvh, state, o_w, d_w, t_fixed, cfg, any_hit: bool):
     """Straggler ladder: statically-bounded rounds over geometrically smaller
     compacted wavefronts (see module docstring)."""
-    n = state.cur.shape[0]
+    n = state["cur"].shape[0]
     rounds = cfg.traversal_rounds
 
-    def run(s, iters):
+    def run(s, ow, dw, tf, iters):
         return jax.lax.fori_loop(
-            0, iters, lambda i, st: _step(bvh, st, any_hit), s, unroll=cfg.traversal_unroll
+            0,
+            iters,
+            lambda i, st: _step(bvh, st, ow, dw, tf, any_hit),
+            s,
+            unroll=cfg.traversal_unroll,
         )
 
-    state = run(state, rounds[0][1])
+    state = run(state, o_w, d_w, t_fixed, rounds[0][1])
     for frac, iters in rounds[1:]:
         m = max(int(round(n * frac)), 256)
         if m >= n:
-            state = run(state, iters)
+            state = run(state, o_w, d_w, t_fixed, iters)
             continue
         alive = _alive(state, any_hit)
         order = jnp.argsort(jnp.logical_not(alive))  # stable: alive first
         sel = order[:m]
-        sub = jax.tree_util.tree_map(lambda x: x[sel], state)
-        sub = run(sub, iters)
-        state = jax.tree_util.tree_map(
-            lambda full, part: full.at[sel].set(part), state, sub
+        sub = {k: v[sel] for k, v in state.items()}
+        sub = run(
+            sub,
+            o_w[sel],
+            d_w[sel],
+            t_fixed[sel] if t_fixed is not None else None,
+            iters,
         )
+        state = {k: state[k].at[sel].set(sub[k]) for k in state}
     return state
 
 
 def trace_closest(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig) -> TraceResult:
     """Closest-hit traversal for a wavefront of world-space rays."""
-    state = _init_state(o, d, t_max, active)
-    state = _run_rounds(bvh, state, cfg, any_hit=False)
+    track_steps = cfg.visualize_heatmap
+    state = _init_state(t_max, active, any_hit=False, track_steps=track_steps)
+    state = _run_rounds(bvh, state, o, d, None, cfg, any_hit=False)
     incomplete = jnp.sum(_alive(state, False).astype(jnp.int32))
+    best = state["best"]
+    tri = jnp.where(best >= 0, best >> 8, -1)
+    inst = jnp.where(best >= 0, (best & 255) - 1, -1)
+    n = o.shape[0]
+    steps = state["steps"] if track_steps else jnp.zeros((n,), jnp.int32)
     return TraceResult(
-        t=state.t_best,
-        tri=state.best_tri,
-        inst=state.best_inst,
-        u=state.best_u,
-        v=state.best_v,
-        steps=state.steps,
+        t=state["t_best"],
+        tri=tri,
+        inst=inst,
+        steps=steps,
         incomplete=incomplete,
     )
 
@@ -391,6 +375,6 @@ def trace_closest(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig) -> Trac
 def trace_any(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig):
     """Any-hit (shadow) traversal; found rays retire immediately
     (BottomLevelBVH.cpp:398-437)."""
-    state = _init_state(o, d, t_max, active)
-    state = _run_rounds(bvh, state, cfg, any_hit=True)
-    return state.found
+    state = _init_state(t_max, active, any_hit=True, track_steps=False)
+    state = _run_rounds(bvh, state, o, d, t_max, cfg, any_hit=True)
+    return state["found"]

@@ -326,10 +326,15 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
         scene.tex_levels,
         scene.tex_offsets,
     )
-    albedo = diffuse_c * texture_sample.sample(
-        tex, tex_id, hits.u, hits.v, hits.ds_dx, hits.ds_dy, hits.dt_dx, hits.dt_dy,
-        cfg,
-    )
+    if scene.tex_data.shape[0] > 1:
+        albedo = diffuse_c * texture_sample.sample(
+            tex, tex_id, hits.u, hits.v, hits.ds_dx, hits.ds_dy, hits.dt_dx,
+            hits.dt_dy, cfg,
+        )
+    else:
+        # static fast path: no textures in the scene (atlas is the white texel),
+        # get_albedo == diffuse (Material.h:16-22)
+        albedo = diffuse_c
     albedo = jnp.where(hit[:, None], albedo, 0.0)
     diffuse_mask = vm.length_squared(albedo) > 0.0
 
