@@ -555,13 +555,16 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
         active=jnp.ones((n,), bool),
     )
 
-    capacity = min(int(round(n * cfg.queue_factor)), 2 * n)
+    qf = cfg.queue_factor
+    factors = tuple(qf) if isinstance(qf, (tuple, list)) else (qf,)
     depth = 0 if cfg.visualize_heatmap else cfg.num_bounces
     for bounce in range(depth + 1):
         spawn = bounce < depth
         fb, cand, stats = _shade_generation(scene, bvh, gen, fb, spawn, cfg, stats)
         if cand is None:
             break
+        f = factors[min(bounce, len(factors) - 1)]
+        capacity = max(min(int(round(n * f)), 2 * gen.pixel.shape[0]), 64)
         sel, dropped = _compact(cand, capacity)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = _Generation(

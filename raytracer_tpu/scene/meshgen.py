@@ -300,11 +300,29 @@ def sponza_like(target_triangles: int = 260_000, seed: int = 7) -> MeshData:
     from .description import Material
 
     rng = np.random.default_rng(seed)
+
+    def _noise_texture(size, base, variation, seed_, stripes=0):
+        """Procedural texture (the real sponza is textured; keep the filter chain
+        honest in benchmarks)."""
+        r = np.random.default_rng(seed_)
+        img = np.ones((size, size, 3), np.float32) * np.asarray(base, np.float32)
+        n = r.normal(scale=variation, size=(size // 8, size // 8, 1)).astype(np.float32)
+        n = n.repeat(8, 0).repeat(8, 1)
+        img = np.clip(img + n, 0.02, 1.0)
+        if stripes:
+            y = np.arange(size)[:, None, None]
+            img *= (0.82 + 0.18 * ((y // stripes) % 2)).astype(np.float32)
+        return img
+
     materials = [
-        Material(diffuse=np.array([0.65, 0.62, 0.55])),  # stone
-        Material(diffuse=np.array([0.55, 0.30, 0.20])),  # brick
-        Material(diffuse=np.array([0.70, 0.15, 0.12])),  # fabric red
-        Material(diffuse=np.array([0.20, 0.45, 0.25])),  # fabric green
+        Material(diffuse=np.array([0.65, 0.62, 0.55]),
+                 texture_array=_noise_texture(256, [1, 0.97, 0.9], 0.08, 11)),  # stone
+        Material(diffuse=np.array([0.55, 0.30, 0.20]),
+                 texture_array=_noise_texture(256, [1, 0.8, 0.7], 0.1, 12, stripes=16)),  # brick
+        Material(diffuse=np.array([0.70, 0.15, 0.12]),
+                 texture_array=_noise_texture(128, [1, 0.9, 0.9], 0.05, 13)),  # fabric red
+        Material(diffuse=np.array([0.20, 0.45, 0.25]),
+                 texture_array=_noise_texture(128, [0.9, 1, 0.9], 0.05, 14)),  # fabric green
         Material(diffuse=np.array([0.8, 0.8, 0.85]), reflection=np.array([0.15, 0.15, 0.15])),
     ]
     parts = []
@@ -373,12 +391,13 @@ def sponza_like(target_triangles: int = 260_000, seed: int = 7) -> MeshData:
         xs, ys = np.meshgrid(np.linspace(-1, 1, res), np.linspace(-1.6, 1.6, res))
         zs = 0.15 * np.sin(xs * 3.0) * np.cos(ys * 2.0)
         v = np.stack([xs, ys, zs], -1).reshape(-1, 3)
+        uv = np.stack([(xs + 1) / 2, (ys + 1.6) / 3.2], -1).reshape(-1, 2)
         faces = []
         for a in range(res - 1):
             for b in range(res - 1):
                 i00 = a * res + b
                 faces += [[i00, i00 + 1, i00 + res], [i00 + 1, i00 + res + 1, i00 + res]]
-        return from_indexed(v, np.array(faces), None, None, material_id, materials)
+        return from_indexed(v, np.array(faces), None, uv, material_id, materials)
 
     for i in range(8):
         x = -14.0 + i * 4.0

@@ -142,10 +142,50 @@ def config2_dielectric() -> tuple:
     return desc, cfg
 
 
+# The reference's 27-keyframe sponza fly-through (Scene.cpp:95-126); playback is
+# disabled by default there too (commented out at Scene.cpp:157-162).
+SPONZA_SPLINE_TIMES = [float(t) for t in range(0, 53, 2)]
+SPONZA_SPLINE_POINTS = [
+    (0.0, 2.0, 0.0), (-60.6, 17.2, 15.5), (-108.1, 17.2, -1.9),
+    (-125.1, 17.2, -15.0), (-129.6, 17.2, -32.9), (-115.1, 17.2, -46.7),
+    (-89.1, 17.2, -52.8), (-38.4, 17.2, -55.2), (2.4, 20.3, -46.7),
+    (15.4, 29.4, -37.6), (22.8, 31.5, -27.5), (26.5, 43.1, -12.6),
+    (37.4, 65.0, 17.3), (39.4, 65.4, 31.4), (39.4, 65.4, 31.4),
+    (49.2, 68.8, 37.0), (49.2, 68.8, 37.0), (85.1, 70.0, 42.5),
+    (106.1, 70.8, 27.4), (114.9, 72.3, -16.4), (93.1, 73.4, -50.5),
+    (61.5, 65.1, -27.1), (44.9, 88.8, -6.7), (18.0, 99.1, -13.6),
+    (17.6, 99.1, -13.6), (8.4, 83.9, -11.1), (12.6, 37.4, 1.4),
+]
+
+
+class SponzaScene(SceneDescription):
+    """Sponza with an optional spline camera fly-through (CatmullRomSpline)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.spline_playback = False
+        self._spline = None
+
+    def update(self, delta: float) -> None:
+        self.time += delta
+        if self.spline_playback:
+            from ..core.spline import CatmullRomSpline
+
+            if self._spline is None:
+                self._spline = CatmullRomSpline(
+                    SPONZA_SPLINE_TIMES, np.array(SPONZA_SPLINE_POINTS)
+                )
+            prev = self.camera.position.copy()
+            self.camera.position = self._spline.get_point(delta)
+            forward = self.camera.position - prev
+            if np.linalg.norm(forward) > 1e-9:
+                self.camera.rotation = quat.look_rotation(forward, [0.0, 1.0, 0.0])
+
+
 def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_000):
     """BASELINE config[3]: Sponza 1080p — full SBVH, mipmapped textures, all light
     types (reference default workload, Scene.cpp:75-130 + Config.h:6-16)."""
-    desc = SceneDescription()
+    desc = SponzaScene()
     _default_sky(desc)
     sponza_path = os.path.join(REFERENCE_DATA, "sponza", "sponza.obj")
     if os.path.exists(sponza_path):
@@ -184,7 +224,10 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     )
     desc.camera.position = np.array([15.0, 4.0, 0.0])
     desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
-    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=0.5)
+    # mostly-diffuse scene: deep generations carry few rays
+    cfg = RenderConfig(
+        width=width, height=height, num_bounces=3, queue_factor=(0.25, 0.1, 0.05)
+    )
     return desc, cfg
 
 

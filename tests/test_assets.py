@@ -1,0 +1,101 @@
+"""Asset pipeline tests: OBJ/MTL loading, sky probes, material buffer semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.scene import objloader, sky
+from raytracer_tpu.scene.description import MaterialBuffer
+
+OBJ = """
+mtllib test.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+vn 0 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1
+usemtl blue
+f 2/2/1 4/1/1 3/3/1
+"""
+
+MTL = """
+newmtl red
+Kd 0.9 0.1 0.1
+Ks 0.2 0.2 0.2
+Ni 1.5
+newmtl blue
+Kd 0.1 0.1 0.9
+Tf 0.5 0.5 0.5
+"""
+
+
+def test_obj_mtl_loading(tmp_path):
+    (tmp_path / "test.obj").write_text(OBJ)
+    (tmp_path / "test.mtl").write_text(MTL)
+    mesh = objloader.load_obj(str(tmp_path / "test.obj"))
+    assert mesh.triangle_count == 2
+    assert len(mesh.materials) == 2
+    np.testing.assert_allclose(mesh.materials[0].diffuse, [0.9, 0.1, 0.1])
+    np.testing.assert_allclose(mesh.materials[0].reflection, [0.2, 0.2, 0.2])
+    assert mesh.materials[0].index_of_refraction == 1.5
+    np.testing.assert_allclose(mesh.materials[1].transmittance, [0.5, 0.5, 0.5])
+    assert list(mesh.material_id) == [0, 1]
+    # v-flip of texcoords (OBJLoader.cpp:141-143)
+    np.testing.assert_allclose(mesh.t0[0], [0.0, 1.0])
+    # positions
+    np.testing.assert_allclose(mesh.p0[0], [0, 0, 0])
+    np.testing.assert_allclose(mesh.p1[0], [1, 0, 0])
+
+
+def test_obj_without_mtl_gets_magenta_fallback(tmp_path):
+    (tmp_path / "plain.obj").write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    mesh = objloader.load_obj(str(tmp_path / "plain.obj"))
+    np.testing.assert_allclose(mesh.materials[0].diffuse, [1.0, 0.0, 1.0])
+    # geometric face normal fallback
+    np.testing.assert_allclose(np.abs(mesh.n0[0]), [0, 0, 1], atol=1e-6)
+
+
+def test_obj_polygon_fan_and_negative_indices(tmp_path):
+    (tmp_path / "quad.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n"
+    )
+    mesh = objloader.load_obj(str(tmp_path / "quad.obj"))
+    assert mesh.triangle_count == 2  # fan triangulation
+
+
+def test_reference_monkey_loads_if_present():
+    path = "/root/reference/Data/Monkey.obj"
+    if not os.path.exists(path):
+        pytest.skip("reference assets not mounted")
+    mesh = objloader.load_obj(path)
+    assert mesh.triangle_count > 400
+    assert np.isfinite(mesh.p0).all()
+
+
+def test_sky_probe_roundtrip(tmp_path):
+    data, size = sky.procedural_probe(16)
+    raw = data.astype(np.float32).tobytes()
+    p = tmp_path / "probe.float"
+    p.write_bytes(raw)
+    loaded, s = sky.load_probe(str(p))
+    assert s == 16
+    np.testing.assert_allclose(loaded, data)
+
+
+def test_material_buffer_semantics():
+    buf = MaterialBuffer(max_materials=4)
+    # default material 0 is black (MaterialBuffer::init, Material.h:52-60)
+    np.testing.assert_allclose(buf[0].diffuse, 0.0)
+    a = buf.reserve()
+    b = buf.reserve()
+    assert (a, b) == (1, 2)
+    offset = buf.add_all([buf[0].__class__()])
+    assert offset == 3
+    with pytest.raises(AssertionError):
+        buf.reserve()  # max reached (Material.h:33-37 aborts)
