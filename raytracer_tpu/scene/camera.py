@@ -72,6 +72,17 @@ class Camera:
                 self.rotation,
             )
 
+    def dump_pose(self) -> str:
+        """Paste-ready pose dump (the reference's F-key camera dump,
+        Camera.cpp:39-42)."""
+        p = self.position
+        r = self.rotation
+        return (
+            f"camera.position = np.array([{p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}])\n"
+            f"camera.rotation = np.array([{r[0]:.6f}, {r[1]:.6f}, {r[2]:.6f}, "
+            f"{r[3]:.6f}])"
+        )
+
     def device_arrays(self) -> dict:
         """Rotated pyramid as float32 arrays for the primary-ray kernel
         (Camera.cpp:45-48)."""
