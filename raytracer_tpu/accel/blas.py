@@ -21,7 +21,7 @@ from ..config import MeshAccelerator
 from ..scene.meshgen import MeshData
 from .bvh import BVH, build_bvh, triangle_bounds
 
-_BUILDER_VERSION = 5  # bump to invalidate cached BVHs
+_BUILDER_VERSION = 6  # bump to invalidate cached BVHs
 
 
 @dataclasses.dataclass
@@ -48,8 +48,30 @@ class Blas:
     # threaded-traversal links [8, M, 2] (accel/links.py), BLAS_EXIT sentinels,
     # BLAS-local node indices
     links: np.ndarray = None
+    # 8-wide collapse (accel/wide.py), BLAS-local payloads
+    wide_child_min: np.ndarray = None  # [W,8,3]
+    wide_child_max: np.ndarray = None
+    wide_child_kind: np.ndarray = None  # [W,8]
+    wide_child_payload: np.ndarray = None  # [W,8]
+    wide_child_fb: np.ndarray = None  # [W,8]
+    wide_order: np.ndarray = None  # [8,W,8]
+    wide_depth: np.ndarray = None  # [] int
     materials: list = None  # local material table (not cached; reattached by caller)
     source_triangle_count: int = 0
+
+    @property
+    def wide(self):
+        from .wide import WideBVH
+
+        return WideBVH(
+            child_min=self.wide_child_min,
+            child_max=self.wide_child_max,
+            child_kind=self.wide_child_kind,
+            child_payload=self.wide_child_payload,
+            child_fb=self.wide_child_fb,
+            order=self.wide_order,
+            depth=int(self.wide_depth),
+        )
 
     @property
     def triangle_count(self) -> int:
@@ -118,13 +140,18 @@ def build_blas(
         bvh.node_left, bvh.node_count, bvh.node_axis, exit_sentinel=BLAS_EXIT
     )
 
-    # Pair-pad leaf ranges: every leaf's triangle range starts even and has even
-    # length (odd leaves duplicate their last triangle — harmless for closest- and
-    # any-hit), so traversal can test triangles two-per-step from fused pair
-    # records with one gather.
-    node_left, node_count, order = _pad_leaf_pairs(
-        bvh.node_left.copy(), bvh.node_count.copy(), order
+    # 8-pad leaf ranges: every leaf's triangle range starts 8-aligned with length a
+    # multiple of 8 (short leaves duplicate their last triangle — harmless for
+    # closest- and any-hit).  The wide kernel then retires a whole leaf with ONE
+    # [T/8,72] record gather; the binary kernel's pair cursor still works (8-aligned
+    # implies pair-aligned).
+    node_left, node_count, order = _pad_leaf_multiple(
+        bvh.node_left.copy(), bvh.node_count.copy(), order, 8
     )
+
+    from .wide import collapse_blas
+
+    wideb = collapse_blas(bvh.node_min, bvh.node_max, node_left, node_count)
 
     # flatten(): copy triangles into leaf order, dropping the index indirection
     # (BottomLevelBVH.cpp:196-212); SBVH reference duplication falls out naturally.
@@ -146,6 +173,13 @@ def build_blas(
         tri_te2=mesh.t2[order] - mesh.t0[order],
         tri_material=mesh.material_id[order].astype(np.int32),
         links=links,
+        wide_child_min=wideb.child_min,
+        wide_child_max=wideb.child_max,
+        wide_child_kind=wideb.child_kind,
+        wide_child_payload=wideb.child_payload,
+        wide_child_fb=wideb.child_fb,
+        wide_order=wideb.order,
+        wide_depth=np.int64(wideb.depth),
         materials=mesh.materials,
         source_triangle_count=mesh.triangle_count,
     )
@@ -163,15 +197,16 @@ def build_blas(
     return blas
 
 
-def _pad_leaf_pairs(node_left, node_count, order):
-    """Rewrite leaf ranges so each starts even with even length (vectorized)."""
+def _pad_leaf_multiple(node_left, node_count, order, mult):
+    """Rewrite leaf ranges so each starts at a multiple of ``mult`` with length a
+    multiple of ``mult`` (vectorized); short leaves repeat their last triangle."""
     is_leaf = node_count > 0
     leaf_ids = np.where(is_leaf)[0]
     # leaves partition [0, len(order)) contiguously; process in range order
     leaf_ids = leaf_ids[np.argsort(node_left[leaf_ids], kind="stable")]
     counts = node_count[leaf_ids].astype(np.int64)
     firsts = node_left[leaf_ids].astype(np.int64)
-    new_counts = counts + (counts & 1)
+    new_counts = (counts + mult - 1) // mult * mult
     new_firsts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
 
     total = int(new_counts.sum())

@@ -109,6 +109,25 @@ class RenderConfig:
     # unroll factor of the inner fori_loop (amortizes loop overhead)
     traversal_unroll: int = 1
 
+    # Traversal kernel: "wide" = 8-wide BVH, one 8-child-AABB gather per node visit
+    # + one 8-triangle record per leaf (ops/traversal_wide.py — the fast path on
+    # gather-bound TPUs, PERF.md); "threaded" = stackless threaded binary BVH
+    # (ops/traversal.py — kept for ablation and as the reference-shaped baseline).
+    traversal_kernel: str = "wide"
+    # Short per-ray stack of deferred wide children (packed int32 entries).  Wide
+    # tree depth is ~log7(T); demand beyond the bound is counted as `incomplete`
+    # (Sponza-class primaries: S=16 suffices, S=12 truncates ~0.005%).
+    wide_stack_size: int = 16
+    # Straggler ladder for the wide kernel, tuned to the measured Sponza-class
+    # camera-primary aliveness curve (PERF.md): 33% alive @16 wide iterations,
+    # 0.5% @32, 0 @64 — effective cost ~24 full-wavefront iterations.
+    wide_rounds: tuple = (
+        (1.0, 16),
+        (0.375, 16),
+        (1.0 / 32, 32),
+        (1.0 / 256, 256),
+    )
+
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
     # Capacity of each secondary-ray generation as a fraction of the primary count.
     # A surface can spawn both a reflection and a refraction ray (Raytracer.cpp:249-316),

@@ -1,0 +1,393 @@
+"""Wavefront 8-wide BVH traversal with a short packed stack (TPU-native).
+
+Successor of the threaded binary traversal (ops/traversal.py) built on two measured
+properties of this hardware (PERF.md):
+
+  1. A [N] row gather costs ~6 ns/lane for ANY row width up to 80 floats, so the
+     unit of traversal work is "one fat gather": a [8W, 64] octant-major WIDE node
+     record (8 child AABBs + encoded child entries, children pre-sorted per ray
+     octant — accel/wide.py), or a [T/8, 72] 8-triangle leaf record retiring a whole
+     leaf per iteration.  vs the binary kernel this cuts per-ray iterations ~3x.
+
+  2. Vector math on [N, 3]-shaped arrays runs at ~2% VPU lane utilization (the
+     minor dim maps to the 128-wide lane axis), while the same math on [B, 128]
+     component slabs runs at speed of light — hidden entirely inside the gather
+     latency.  Every gathered record is therefore batch-transposed once
+     ([N,K] -> [B,K,128], one relayout) and ALL slab tests / Moller-Trumbore
+     evaluations are written as scalar-component arithmetic on [B,128] slabs
+     (measured 9.4x faster than the [N,3] formulation).
+
+Control flow stays a statically-bounded straggler ladder (no data-dependent
+``while``: a cond on this runtime costs a ~170 ms host round-trip per iteration).
+Deferred hit children go onto a short per-ray stack of packed int32 entries
+(kind|payload|instance — see accel/wide.py), pushed far-to-near so pops are
+near-first.  The TLAS and all BLASes share one unified record array; entering an
+instance is just following a child entry whose instance-override bits switch the
+ray into object space (Mesh.cpp:17-31) — no separate nesting machinery: the stack
+itself remembers the enclosing space because every entry carries its instance id.
+
+Traversal is geometry-discrete and wrapped in stop_gradient by the renderer;
+differentiable hit attributes are reconstructed from the returned ids.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.wide import KIND_INTERNAL, KIND_LEAF, PAYLOAD_BITS
+from ..config import RAY_EPSILON, RenderConfig
+from . import intersect
+
+POP = -1  # take the next deferred entry off the stack
+EXIT = -2  # traversal finished
+
+_PAYLOAD_MASK = (1 << PAYLOAD_BITS) - 1
+_LANES = 128  # wavefronts are padded to this so [B,128] slabs tile exactly
+
+
+class WideSceneBVH(NamedTuple):
+    """Unified per-frame traversal structure: [BLAS block | per-frame TLAS]."""
+
+    rec: jnp.ndarray  # [8*W, 64] f32 octant-major wide node records
+    inst_mat: jnp.ndarray  # [I+1,12] f32 inverse instance matrices (slot 0 identity)
+    tri_rec: jnp.ndarray  # [T/8, 72] f32 8-triangle records: (p0|e1|e2) x 8
+    root: int  # trace-time constant: global index of the TLAS wide root
+
+    @property
+    def n_nodes(self) -> int:
+        return self.rec.shape[0] // 8
+
+
+def build_scene_bvh(scene) -> WideSceneBVH:
+    """Assemble the frame's unified wide traversal arrays on device.
+
+    The static BLAS record block comes pre-assembled from the packer
+    (scene.wd_rec, [8,Wb,64]); the tiny per-frame TLAS (scene.wt_rec, [8,Wt,64])
+    is appended so BLAS child indices need no per-frame fix-up, mirroring the
+    reference's split of cold BLAS build vs per-frame TLAS rebuild
+    (BottomLevelBVH.cpp:18-58 / TopLevelBVH.cpp:32-45).
+    """
+    wb = scene.wd_rec.shape[1]
+    rec = jnp.concatenate([scene.wd_rec, scene.wt_rec], axis=1)
+    rec = rec.reshape(-1, 64)
+
+    identity = jnp.concatenate(
+        [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], axis=1
+    )
+    inst_mat = jnp.concatenate([identity[None], scene.inst_inv], axis=0).reshape(-1, 12)
+
+    tri_rec = jnp.concatenate([scene.tr_p0, scene.tr_e1, scene.tr_e2], axis=1)
+    tri_rec = tri_rec.reshape(-1, 72)  # leaves are 8-aligned by the BLAS flatten
+
+    return WideSceneBVH(rec=rec, inst_mat=inst_mat, tri_rec=tri_rec, root=wb)
+
+
+class TraceResult(NamedTuple):
+    t: jnp.ndarray  # [N] closest hit distance (inf = miss)
+    tri: jnp.ndarray  # [N] i32 global triangle id (-1 = miss)
+    inst: jnp.ndarray  # [N] i32 instance id (-1 = miss)
+    steps: jnp.ndarray  # [N] i32 node visits (heatmap; zeros unless tracked)
+    incomplete: jnp.ndarray  # [] i32 rays truncated by ladder budget or stack overflow
+
+
+def _t(x):
+    """Batch-transpose [N,K] -> [B,K,128]: ONE relayout after which per-component
+    slices x_t[:, c] are [B,128] slabs computing at full lane utilization.
+    Element n of component c lives at [n // 128, c, n % 128], so a [B,128] slab
+    reshapes back to [N] for free (row-major compatible)."""
+    n, k = x.shape
+    return x.reshape(n // _LANES, _LANES, k).transpose(0, 2, 1)
+
+
+def _flat(x):
+    """[B,128] -> [N] (free reshape, see _t)."""
+    return x.reshape(-1)
+
+
+def _init_state(t_init, active, root: int, any_hit: bool, track_steps: bool) -> dict:
+    n = t_init.shape[0]
+    i32 = lambda v: jnp.full((n,), v, jnp.int32)  # noqa: E731
+    root_entry = (KIND_INTERNAL << PAYLOAD_BITS | root) << 8  # inst1 = 0 (world)
+    s = dict(
+        cur=jnp.where(active, root_entry, EXIT).astype(jnp.int32),
+        sp=i32(0),
+        ovf=jnp.zeros((n,), bool),
+    )
+    if any_hit:
+        s["found"] = jnp.zeros((n,), bool)
+    else:
+        s["t_best"] = t_init
+        s["best"] = i32(-1)
+    if track_steps:
+        s["steps"] = i32(0)
+    # stack is threaded separately (its ladder compaction is 2-D)
+    return s
+
+
+def _alive(s: dict, any_hit: bool):
+    a = s["cur"] != EXIT
+    if any_hit:
+        a = a & ~s["found"]
+    return a
+
+
+def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool):
+    """One traversal iteration.  rays_t = (o_t, d_t): [B,3,128] transposed
+    world-space ray components (constant over the round)."""
+    o_t, d_t = rays_t
+    n = s["cur"].shape[0]
+    b = n // _LANES
+    n_nodes = bvh.n_nodes
+    stack_size = stack.shape[1]
+    cols = jnp.arange(stack_size, dtype=jnp.int32)[None, :]
+
+    # ---- pop: resolve POP sentinels from the stack (or retire the ray) ----
+    sp = s["sp"]
+    need = s["cur"] == POP
+    has = sp > 0
+    top = jnp.sum(jnp.where(cols == (sp - 1)[:, None], stack, 0), axis=1)
+    cur = jnp.where(need, jnp.where(has, top, EXIT), s["cur"])
+    sp = sp - (need & has).astype(jnp.int32)
+
+    live = cur >= 0
+    if any_hit:
+        live = live & ~s["found"]
+        t_best = t_fixed
+    else:
+        t_best = s["t_best"]
+
+    # ---- decode + ray into current instance space ----
+    kind = jnp.where(live, cur >> (PAYLOAD_BITS + 8), 0)
+    payload = jnp.where(live, (cur >> 8) & _PAYLOAD_MASK, 0)
+    inst1 = jnp.where(live, cur & 255, 0)
+    hot = jax.nn.one_hot(inst1, bvh.inst_mat.shape[0], dtype=jnp.float32)
+    m = _t(hot @ bvh.inst_mat)  # [B,12,128] rows of the 3x4 inverse matrix
+    owx, owy, owz = o_t[:, 0], o_t[:, 1], o_t[:, 2]
+    dwx, dwy, dwz = d_t[:, 0], d_t[:, 1], d_t[:, 2]
+    ox = m[:, 0] * owx + m[:, 1] * owy + m[:, 2] * owz + m[:, 3]
+    oy = m[:, 4] * owx + m[:, 5] * owy + m[:, 6] * owz + m[:, 7]
+    oz = m[:, 8] * owx + m[:, 9] * owy + m[:, 10] * owz + m[:, 11]
+    dx = m[:, 0] * dwx + m[:, 1] * dwy + m[:, 2] * dwz
+    dy = m[:, 4] * dwx + m[:, 5] * dwy + m[:, 6] * dwz
+    dz = m[:, 8] * dwx + m[:, 9] * dwy + m[:, 10] * dwz
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    oct_t = (
+        (dx > 0).astype(jnp.int32)
+        | ((dy > 0).astype(jnp.int32) << 1)
+        | ((dz > 0).astype(jnp.int32) << 2)
+    )
+    tb = t_best.reshape(b, _LANES)
+
+    # ---- leaf phase: one 8-triangle record, eight Moller-Trumbore tests ----
+    is_leaf = live & (kind == KIND_LEAF)
+    trec = _t(jnp.take(bvh.tri_rec, jnp.where(is_leaf, payload, 0), axis=0))
+    leaf_t = is_leaf.reshape(b, _LANES)
+    if not any_hit:
+        best_t = s["best"].reshape(b, _LANES)
+        payload_t = payload.reshape(b, _LANES)
+        inst1_t = inst1.reshape(b, _LANES)
+    hit_any = jnp.zeros((b, _LANES), bool)
+    for j in range(8):
+        c = trec[:, j * 9 : (j + 1) * 9]
+        # Moller-Trumbore (BottomLevelBVH.cpp:214-258), scalar-component form
+        hx = dy * c[:, 8] - dz * c[:, 7]
+        hy = dz * c[:, 6] - dx * c[:, 8]
+        hz = dx * c[:, 7] - dy * c[:, 6]
+        a = c[:, 3] * hx + c[:, 4] * hy + c[:, 5] * hz
+        f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+        sx = ox - c[:, 0]
+        sy = oy - c[:, 1]
+        sz = oz - c[:, 2]
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * c[:, 5] - sz * c[:, 4]
+        qy = sz * c[:, 3] - sx * c[:, 5]
+        qz = sx * c[:, 4] - sy * c[:, 3]
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (c[:, 6] * qx + c[:, 7] * qy + c[:, 8] * qz)
+        hit_j = (
+            (u > 0.0) & (u < 1.0) & (v > 0.0) & (u + v < 1.0)
+            & (t > RAY_EPSILON) & (t < tb) & leaf_t
+        )
+        if any_hit:
+            hit_any = hit_any | hit_j
+        else:
+            tb = jnp.where(hit_j, t, tb)
+            best_t = jnp.where(hit_j, ((payload_t * 8 + j) << 8) | inst1_t, best_t)
+    if any_hit:
+        found = s["found"] | _flat(hit_any)
+
+    # ---- node phase: gather wide record, slab-test all 8 children ----
+    is_node = live & (kind == KIND_INTERNAL)
+    if any_hit:
+        is_node = is_node & ~found
+    nrec = _t(
+        jnp.take(bvh.rec, jnp.where(is_node, _flat(oct_t) * n_nodes + payload, 0), axis=0)
+    )  # [B,64,128]
+    node_t = is_node.reshape(b, _LANES)
+
+    bits = []
+    for j in range(8):
+        bmin_x, bmin_y, bmin_z = nrec[:, j * 6], nrec[:, j * 6 + 1], nrec[:, j * 6 + 2]
+        bmax_x, bmax_y, bmax_z = nrec[:, j * 6 + 3], nrec[:, j * 6 + 4], nrec[:, j * 6 + 5]
+        t0x, t1x = (bmin_x - ox) * ix, (bmax_x - ox) * ix
+        t0y, t1y = (bmin_y - oy) * iy, (bmax_y - oy) * iy
+        t0z, t1z = (bmin_z - oz) * iz, (bmax_z - oz) * iz
+        t_near = jnp.maximum(
+            jnp.maximum(RAY_EPSILON, jnp.minimum(t0x, t1x)),
+            jnp.maximum(jnp.minimum(t0y, t1y), jnp.minimum(t0z, t1z)),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(tb, jnp.maximum(t0x, t1x)),
+            jnp.minimum(jnp.maximum(t0y, t1y), jnp.maximum(t0z, t1z)),
+        )
+        bits.append((t_near < t_far) & node_t)
+
+    fa = [nrec[:, 48 + j].astype(jnp.int32) for j in range(8)]
+    fb = [nrec[:, 56 + j].astype(jnp.int32) for j in range(8)]
+    inst1_bt = inst1.reshape(b, _LANES)
+    entries = [
+        (fa[j] << 8) | jnp.where(fb[j] > 0, fb[j], inst1_bt) for j in range(8)
+    ]
+    # exclude empty slots (KIND_EMPTY boxes are always-miss point boxes, but be
+    # explicit so garbage payloads can never enter the walk)
+    bits = [bits[j] & ((fa[j] >> PAYLOAD_BITS) != 7) for j in range(8)]
+
+    # nearest remaining child = lowest set bit (children pre-sorted per octant);
+    # the rest are pushed far-to-near so pops come near-first
+    taken = jnp.zeros((b, _LANES), bool)
+    first_entry = jnp.zeros((b, _LANES), jnp.int32)
+    for j in range(8):
+        sel = bits[j] & ~taken
+        first_entry = jnp.where(sel, entries[j], first_entry)
+        taken = taken | bits[j]
+    has_any = taken  # any child hit
+
+    # suffix counts: children farther than j sit BELOW j on the stack
+    rest = []
+    found_first = jnp.zeros((b, _LANES), bool)
+    for j in range(8):
+        is_first = bits[j] & ~found_first
+        rest.append(bits[j] & ~is_first)
+        found_first = found_first | bits[j]
+    rc = [None] * 8
+    acc = jnp.zeros((b, _LANES), jnp.int32)
+    for j in range(7, -1, -1):
+        acc = acc + rest[j].astype(jnp.int32)
+        rc[j] = acc
+    n_push = acc
+
+    sp_t = sp.reshape(b, _LANES)
+    overflow_t = node_t & (sp_t + n_push > stack_size)
+    # flatten push plumbing back to [N] for the [N,S] stack writes
+    for j in range(8):
+        pos_j = _flat(sp_t + rc[j] - 1)  # position of slot j's push
+        ok_j = _flat(rest[j]) & (pos_j < stack_size)
+        stack = jnp.where(
+            ok_j[:, None] & (cols == pos_j[:, None]), _flat(entries[j])[:, None], stack
+        )
+    sp = jnp.where(is_node, jnp.minimum(sp + _flat(n_push), stack_size), sp)
+
+    # ---- advance ----
+    nxt_t = jnp.where(node_t, jnp.where(has_any, first_entry, POP), POP)
+    nxt = jnp.where(is_node | is_leaf, _flat(nxt_t), cur)
+
+    out = dict(s)
+    out["cur"] = nxt
+    out["sp"] = sp
+    out["ovf"] = s["ovf"] | _flat(overflow_t)
+    if any_hit:
+        out["found"] = found
+    else:
+        out["t_best"] = _flat(tb)
+        out["best"] = _flat(best_t)
+    if "steps" in s:
+        out["steps"] = s["steps"] + is_node.astype(jnp.int32)
+    return out, stack
+
+
+def _round_up(n, mult):
+    return (n + mult - 1) // mult * mult
+
+
+def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
+    """Straggler ladder (see ops/traversal.py): statically-bounded rounds over
+    geometrically smaller compacted wavefronts."""
+    n = state["cur"].shape[0]
+    rounds = cfg.wide_rounds
+
+    def run(s, stk, ow, dw, tf, iters):
+        rays_t = (_t(ow), _t(dw))
+
+        def body(i, carry):
+            st, sk = carry
+            return _step(bvh, st, sk, rays_t, tf, any_hit)
+
+        return jax.lax.fori_loop(0, iters, body, (s, stk), unroll=cfg.traversal_unroll)
+
+    state, stack = run(state, stack, o_w, d_w, t_fixed, rounds[0][1])
+    for frac, iters in rounds[1:]:
+        m = _round_up(max(int(round(n * frac)), 256), _LANES)
+        if m >= n:
+            state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
+            continue
+        alive = _alive(state, any_hit)
+        order = jnp.argsort(jnp.logical_not(alive))  # stable: alive first
+        sel = order[:m]
+        sub = {k: v[sel] for k, v in state.items()}
+        sub, sub_stack = run(
+            sub,
+            stack[sel],
+            o_w[sel],
+            d_w[sel],
+            t_fixed[sel] if t_fixed is not None else None,
+            iters,
+        )
+        state = {k: state[k].at[sel].set(sub[k]) for k in state}
+        stack = stack.at[sel].set(sub_stack)
+    return state
+
+
+def _pad_inputs(o, d, t_max, active):
+    """Pad the wavefront to a multiple of 128 so [B,128] slabs tile exactly."""
+    n = o.shape[0]
+    np_ = _round_up(n, _LANES)
+    if np_ == n:
+        return o, d, t_max, active, n
+    pad = np_ - n
+    o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
+    d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+    t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)], axis=0)
+    active = jnp.concatenate([active, jnp.zeros((pad,), bool)], axis=0)
+    return o, d, t_max, active, n
+
+
+def trace_closest(
+    bvh: WideSceneBVH, o, d, t_max, active, cfg: RenderConfig
+) -> TraceResult:
+    """Closest-hit traversal for a wavefront of world-space rays."""
+    o, d, t_max, active, n = _pad_inputs(o, d, t_max, active)
+    track_steps = cfg.visualize_heatmap
+    state = _init_state(t_max, active, bvh.root, any_hit=False, track_steps=track_steps)
+    stack = jnp.zeros((o.shape[0], cfg.wide_stack_size), jnp.int32)
+    state = _run_rounds(bvh, state, stack, o, d, None, cfg, any_hit=False)
+    incomplete = jnp.sum((_alive(state, False) | state["ovf"]).astype(jnp.int32))
+    best = state["best"][:n]
+    tri = jnp.where(best >= 0, best >> 8, -1)
+    inst = jnp.where(best >= 0, (best & 255) - 1, -1)
+    steps = state["steps"][:n] if track_steps else jnp.zeros((n,), jnp.int32)
+    return TraceResult(
+        t=state["t_best"][:n], tri=tri, inst=inst, steps=steps, incomplete=incomplete
+    )
+
+
+def trace_any(bvh: WideSceneBVH, o, d, t_max, active, cfg: RenderConfig):
+    """Any-hit (shadow) traversal; found rays retire immediately
+    (BottomLevelBVH.cpp:398-437)."""
+    o, d, t_max, active, n = _pad_inputs(o, d, t_max, active)
+    state = _init_state(t_max, active, bvh.root, any_hit=True, track_steps=False)
+    stack = jnp.zeros((o.shape[0], cfg.wide_stack_size), jnp.int32)
+    state = _run_rounds(bvh, state, stack, o, d, t_max, cfg, any_hit=True)
+    return state["found"][:n]

@@ -33,9 +33,14 @@ import jax.numpy as jnp
 
 from ..config import AIR_IOR, RenderConfig
 from ..core import vecmath as vm
-from ..ops import intersect, sky_sample, texture_sample, traversal
+from ..ops import intersect, sky_sample, texture_sample, traversal, traversal_wide
 from ..ops.intersect import Hits, Rays
 from . import shading
+
+
+def _traversal_module(cfg: RenderConfig):
+    """Select the mesh traversal kernel (config.traversal_kernel)."""
+    return traversal_wide if cfg.traversal_kernel == "wide" else traversal
 
 _BEER_DIST_CLAMP = 1.0e8
 
@@ -237,7 +242,7 @@ def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig):
         )
     if bvh is not None:
         res = jax.lax.stop_gradient(
-            traversal.trace_closest(
+            _traversal_module(cfg).trace_closest(
                 bvh, rays.origin, rays.direction, hits.t, active, cfg
             )
         )
@@ -261,7 +266,7 @@ def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
         )
     if bvh is not None:
         blocked = blocked | jax.lax.stop_gradient(
-            traversal.trace_any(
+            _traversal_module(cfg).trace_any(
                 bvh, origin, direction, max_distance, active & ~blocked, cfg
             )
         )
@@ -545,7 +550,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
     )
 
     has_mesh = scene.n_instances > 0
-    bvh = traversal.build_scene_bvh(scene) if has_mesh else None
+    bvh = _traversal_module(cfg).build_scene_bvh(scene) if has_mesh else None
 
     gen = _Generation(
         rays=rays,

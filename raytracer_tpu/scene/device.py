@@ -43,6 +43,9 @@ class DeviceScene(NamedTuple):
     inst_world: object  # [I,3,4]
     inst_inv: object  # [I,3,4]
     inst_root: object  # [I] int32 global root-node index of the instance's BLAS
+    # 8-wide BVH records (accel/wide.py): static BLAS block + per-frame wide TLAS
+    wd_rec: object  # [8,Wb,64] f32 octant-major fused wide records (global payloads)
+    wt_rec: object  # [8,Wt,64] f32 per-frame wide TLAS (root = local 0 -> global Wb)
     # concatenated bottom-level BVHs (BottomLevelBVH.h)
     nd_min: object  # [M,3]
     nd_max: object
@@ -133,15 +136,20 @@ class ScenePacker:
     # -- static geometry -----------------------------------------------------
 
     def _pack_static(self) -> dict:
+        from ..accel import wide as wide_mod
+
         desc = self.desc
         keys = sorted(desc.blas_registry.keys())
         self.node_base: dict = {}
-        nd, tr, links = [], [], []
+        self.wide_node_base: dict = {}
+        nd, tr, links, wrecs = [], [], [], []
         node_off = 0
+        wide_off = 0
         tri_off = 0
         for k in keys:
             b = desc.blas_registry[k]
             self.node_base[k] = node_off
+            self.wide_node_base[k] = wide_off
             is_leaf = b.node_count > 0
             left = np.where(is_leaf, b.node_left + tri_off, b.node_left + node_off)
             nd.append(
@@ -150,10 +158,20 @@ class ScenePacker:
             # threaded links: offset in-BLAS node targets; keep sentinels (<0)
             lk = np.where(b.links >= 0, b.links + node_off, b.links).astype(np.int32)
             links.append(lk)
+            assert tri_off % 8 == 0, "BLAS triangle blocks must stay 8-aligned"
+            wrecs.append(
+                wide_mod.octant_records(
+                    b.wide, internal_offset=wide_off, leaf_offset=tri_off // 8
+                )
+            )
             mat_off = desc.blas_material_offsets[k]
             tr.append((b, (b.tri_material + mat_off).astype(np.int32)))
             node_off += b.node_min.shape[0]
+            wide_off += b.wide_child_min.shape[0]
             tri_off += b.triangle_count
+        # wide-kernel id encodings: tri ids ride best = tri<<8|inst (< 2^31)
+        assert tri_off < (1 << 22), "triangle count exceeds 2^22"
+        self.wide_node_count = wide_off
 
         def cat(idx, dtype, dim=None):
             if not nd:
@@ -170,6 +188,11 @@ class ScenePacker:
             ).astype(dtype)
 
         out = {
+            "wd_rec": (
+                np.concatenate(wrecs, axis=1)
+                if wrecs
+                else np.zeros((8, 0, 64), np.float32)
+            ),
             "nd_min": cat(0, np.float32, 3),
             "nd_max": cat(1, np.float32, 3),
             "nd_left": cat(2, np.int32),
@@ -247,6 +270,8 @@ class ScenePacker:
         inst_world = np.zeros((n_inst, 3, 4), np.float32)
         inst_inv = np.zeros((n_inst, 3, 4), np.float32)
         inst_root = np.zeros((n_inst,), np.int32)
+        inst_wide_root = np.zeros((n_inst,), np.int32)
+        wt_rec = np.zeros((8, 0, 64), np.float32)
         if n_inst:
             mins = np.zeros((n_inst, 3))
             maxs = np.zeros((n_inst, 3))
@@ -255,8 +280,18 @@ class ScenePacker:
                 inst_world[i] = mat4.to_rows34(m)
                 inst_inv[i] = mat4.to_rows34(mat4.invert(m))
                 inst_root[i] = self.node_base[inst.blas_key]
+                inst_wide_root[i] = self.wide_node_base[inst.blas_key]
                 box = inst.world_aabb(desc.blas_registry[inst.blas_key].root_aabb)
                 mins[i], maxs[i] = box[0], box[1]
+            from ..accel import wide as wide_mod
+
+            wtlas = wide_mod.build_wide_tlas(
+                mins.astype(np.float32), maxs.astype(np.float32), inst_wide_root
+            )
+            # TLAS block appended after the static BLAS block; its root is local 0
+            wt_rec = wide_mod.octant_records(
+                wtlas, internal_offset=self.wide_node_count
+            )
             tlas = build_bvh(mins, maxs, force_split=True)
             # bake leaf 'first' -> instance id (single-instance leaves)
             is_leaf = tlas.node_count > 0
@@ -334,6 +369,8 @@ class ScenePacker:
             inst_world=jnp.asarray(inst_world),
             inst_inv=jnp.asarray(inst_inv),
             inst_root=jnp.asarray(inst_root),
+            wd_rec=s["wd_rec"],
+            wt_rec=jnp.asarray(wt_rec),
             nd_min=s["nd_min"],
             nd_max=s["nd_max"],
             nd_left=s["nd_left"],
