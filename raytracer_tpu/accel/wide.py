@@ -264,12 +264,19 @@ def build_wide_tlas(
 def octant_records(
     wide: WideBVH, internal_offset: int = 0, leaf_offset: int = 0
 ) -> np.ndarray:
-    """Assemble the fused octant-major traversal records [8, W, 64] float32.
+    """Assemble the fused octant-major traversal records [8, W, 72] float32.
 
-    Layout per row: 8 x (min3 | max3) = 48 box floats, then 8 x f_a, 8 x f_b —
-    children permuted into that octant's visit order so traversal takes set bits
-    lowest-first.  ``internal_offset``/``leaf_offset`` globalize LOCAL payloads
-    (instance entries, f_b > 0, are already global and take no offset).
+    Layout per row: 8 x (min3 | max3) = 48 box floats, then 8 x f_a, 8 x f_b,
+    then 8 zero floats of padding — children permuted into that octant's visit
+    order so traversal takes set bits lowest-first.  ``internal_offset``/
+    ``leaf_offset`` globalize LOCAL payloads (instance entries, f_b > 0, are
+    already global and take no offset).
+
+    Rows are 72 wide (not 64) so node records and 72-float 8-triangle leaf
+    records can live in ONE unified table: the traversal then issues a single
+    fat gather per iteration regardless of whether a lane sits at a node or a
+    leaf (a [N] row gather costs the same for any row width up to 80 floats —
+    PERF.md), instead of one node gather + one triangle gather.
     """
     payload = wide.child_payload.astype(np.int64)
     payload = payload + np.where(
@@ -281,7 +288,7 @@ def octant_records(
     f_a = (wide.child_kind.astype(np.int64) << PAYLOAD_BITS) | payload
 
     w = wide.n_nodes
-    rec = np.zeros((8, w, 64), np.float32)
+    rec = np.zeros((8, w, 72), np.float32)
     rows = np.arange(w)[:, None]
     for o in range(8):
         perm = wide.order[o].astype(np.int64)  # [W,8]

@@ -49,30 +49,38 @@ _LANES = 128  # wavefronts are padded to this so [B,128] slabs tile exactly
 
 
 class WideSceneBVH(NamedTuple):
-    """Unified per-frame traversal structure: [BLAS block | per-frame TLAS]."""
+    """Unified per-frame traversal structure: [BLAS block | per-frame TLAS | tris].
 
-    rec: jnp.ndarray  # [8*W, 64] f32 octant-major wide node records
+    ``table`` holds BOTH the octant-major wide node records (rows 0..8W-1, 72 f32
+    each: 48 box floats + 8 f_a + 8 f_b + 8 pad) and the 8-triangle leaf records
+    (rows 8W.., (p0|e1|e2) x 8 = 72 f32), so each traversal iteration issues ONE
+    fat gather whether a lane sits at a node or a leaf — halving the gather count
+    of the node+leaf two-table scheme (gathers dominate traversal cost, PERF.md).
+    """
+
+    table: jnp.ndarray  # [8*W + T/8, 72] f32 unified records
     inst_mat: jnp.ndarray  # [I+1,12] f32 inverse instance matrices (slot 0 identity)
-    tri_rec: jnp.ndarray  # [T/8, 72] f32 8-triangle records: (p0|e1|e2) x 8
     root: int  # trace-time constant: global index of the TLAS wide root
+    node_rows: int  # trace-time constant: 8*W (first triangle-record row)
 
     @property
     def n_nodes(self) -> int:
-        return self.rec.shape[0] // 8
+        return self.node_rows // 8
 
 
 def build_scene_bvh(scene) -> WideSceneBVH:
     """Assemble the frame's unified wide traversal arrays on device.
 
     The static BLAS record block comes pre-assembled from the packer
-    (scene.wd_rec, [8,Wb,64]); the tiny per-frame TLAS (scene.wt_rec, [8,Wt,64])
+    (scene.wd_rec, [8,Wb,72]); the tiny per-frame TLAS (scene.wt_rec, [8,Wt,72])
     is appended so BLAS child indices need no per-frame fix-up, mirroring the
     reference's split of cold BLAS build vs per-frame TLAS rebuild
-    (BottomLevelBVH.cpp:18-58 / TopLevelBVH.cpp:32-45).
+    (BottomLevelBVH.cpp:18-58 / TopLevelBVH.cpp:32-45).  Triangle records go
+    after the node block in the same table (leaf row = node_rows + payload).
     """
     wb = scene.wd_rec.shape[1]
     rec = jnp.concatenate([scene.wd_rec, scene.wt_rec], axis=1)
-    rec = rec.reshape(-1, 64)
+    rec = rec.reshape(-1, 72)
 
     identity = jnp.concatenate(
         [jnp.eye(3, dtype=jnp.float32), jnp.zeros((3, 1), jnp.float32)], axis=1
@@ -82,7 +90,12 @@ def build_scene_bvh(scene) -> WideSceneBVH:
     tri_rec = jnp.concatenate([scene.tr_p0, scene.tr_e1, scene.tr_e2], axis=1)
     tri_rec = tri_rec.reshape(-1, 72)  # leaves are 8-aligned by the BLAS flatten
 
-    return WideSceneBVH(rec=rec, inst_mat=inst_mat, tri_rec=tri_rec, root=wb)
+    return WideSceneBVH(
+        table=jnp.concatenate([rec, tri_rec], axis=0),
+        inst_mat=inst_mat,
+        root=wb,
+        node_rows=rec.shape[0],
+    )
 
 
 class TraceResult(NamedTuple):
@@ -181,9 +194,18 @@ def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool):
     )
     tb = t_best.reshape(b, _LANES)
 
-    # ---- leaf phase: one 8-triangle record, eight Moller-Trumbore tests ----
+    # ---- ONE fat gather for the iteration: node record OR leaf record ----
     is_leaf = live & (kind == KIND_LEAF)
-    trec = _t(jnp.take(bvh.tri_rec, jnp.where(is_leaf, payload, 0), axis=0))
+    is_node = live & (kind == KIND_INTERNAL)
+    row = jnp.where(
+        is_leaf,
+        bvh.node_rows + payload,
+        jnp.where(is_node, _flat(oct_t) * n_nodes + payload, 0),
+    )
+    grec = _t(jnp.take(bvh.table, row, axis=0))  # [B,72,128]
+
+    # ---- leaf phase: one 8-triangle record, eight Moller-Trumbore tests ----
+    trec = grec
     leaf_t = is_leaf.reshape(b, _LANES)
     if not any_hit:
         best_t = s["best"].reshape(b, _LANES)
@@ -219,13 +241,10 @@ def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool):
     if any_hit:
         found = s["found"] | _flat(hit_any)
 
-    # ---- node phase: gather wide record, slab-test all 8 children ----
-    is_node = live & (kind == KIND_INTERNAL)
-    if any_hit:
-        is_node = is_node & ~found
-    nrec = _t(
-        jnp.take(bvh.rec, jnp.where(is_node, _flat(oct_t) * n_nodes + payload, 0), axis=0)
-    )  # [B,64,128]
+    # ---- node phase: slab-test all 8 children of the gathered record ----
+    # (is_node & ~found needs no refinement: a lane is node XOR leaf this
+    # iteration, and previously-found lanes are already excluded by `live`)
+    nrec = grec  # [B,72,128]; node interpretation uses cols 0..63
     node_t = is_node.reshape(b, _LANES)
 
     bits = []

@@ -44,8 +44,8 @@ class DeviceScene(NamedTuple):
     inst_inv: object  # [I,3,4]
     inst_root: object  # [I] int32 global root-node index of the instance's BLAS
     # 8-wide BVH records (accel/wide.py): static BLAS block + per-frame wide TLAS
-    wd_rec: object  # [8,Wb,64] f32 octant-major fused wide records (global payloads)
-    wt_rec: object  # [8,Wt,64] f32 per-frame wide TLAS (root = local 0 -> global Wb)
+    wd_rec: object  # [8,Wb,72] f32 octant-major fused wide records (global payloads)
+    wt_rec: object  # [8,Wt,72] f32 per-frame wide TLAS (root = local 0 -> global Wb)
     # concatenated bottom-level BVHs (BottomLevelBVH.h)
     nd_min: object  # [M,3]
     nd_max: object
@@ -191,7 +191,7 @@ class ScenePacker:
             "wd_rec": (
                 np.concatenate(wrecs, axis=1)
                 if wrecs
-                else np.zeros((8, 0, 64), np.float32)
+                else np.zeros((8, 0, 72), np.float32)
             ),
             "nd_min": cat(0, np.float32, 3),
             "nd_max": cat(1, np.float32, 3),
@@ -271,7 +271,7 @@ class ScenePacker:
         inst_inv = np.zeros((n_inst, 3, 4), np.float32)
         inst_root = np.zeros((n_inst,), np.int32)
         inst_wide_root = np.zeros((n_inst,), np.int32)
-        wt_rec = np.zeros((8, 0, 64), np.float32)
+        wt_rec = np.zeros((8, 0, 72), np.float32)
         if n_inst:
             mins = np.zeros((n_inst, 3))
             maxs = np.zeros((n_inst, 3))
