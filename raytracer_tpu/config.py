@@ -127,6 +127,16 @@ class RenderConfig:
         (1.0 / 32, 32),
         (1.0 / 256, 256),
     )
+    # Any-hit (shadow) rays retire at the FIRST hit, so their aliveness curve
+    # drops much faster (measured Sponza-class, scratch/aliveness.py: 41% alive
+    # @8 wide iterations, 5.5% @16, 0.1% @32): compact earlier and more often.
+    wide_rounds_any: tuple = (
+        (1.0, 8),
+        (0.5, 8),
+        (0.125, 16),
+        (1.0 / 64, 32),
+        (1.0 / 512, 192),
+    )
 
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
     # Capacity of each secondary-ray generation as a fraction of the primary count.

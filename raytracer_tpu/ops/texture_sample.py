@@ -27,7 +27,7 @@ _EWA_TABLE_SIZE = 128  # Texture.h:52-62
 
 def _fetch_texel(tex, tex_id, x, y, level):
     """Wrap-around texel fetch (Texture.cpp:131-147). x, y, level, tex_id: [N] int32."""
-    data, width, height, levels, offsets = tex
+    data, width, height, levels, offsets, _quad = tex
     w = jnp.maximum(width[tex_id] >> level, 1)
     h = jnp.maximum(height[tex_id] >> level, 1)
     x = jnp.mod(x, w)  # positive mod (Math.h:44-52)
@@ -36,9 +36,18 @@ def _fetch_texel(tex, tex_id, x, y, level):
     return jnp.take(data, idx, axis=0)
 
 
+def _expand_quads(tex):
+    """[X,12] quad-row atlas: each row holds a texel's full 2x2 bilinear footprint
+    (wrap baked into tex.quad_idx at pack time).  Built in-jit with one big gather
+    so it stays differentiable w.r.t. the base atlas; one bilinear tap then costs
+    ONE row gather instead of four."""
+    data, _w, _h, _l, _o, quad = tex
+    return jnp.take(data, quad.reshape(-1), axis=0).reshape(-1, 12)
+
+
 def _sample_nearest(tex, tex_id, s, t):
     """Texture.cpp:149-155."""
-    _, width, height, _, _ = tex
+    _, width, height, _, _, _ = tex
     wf = width[tex_id].astype(jnp.float32)
     hf = height[tex_id].astype(jnp.float32)
     x = jnp.round(s * wf).astype(jnp.int32)
@@ -47,11 +56,18 @@ def _sample_nearest(tex, tex_id, s, t):
     return _fetch_texel(tex, tex_id, x, y, zero)
 
 
-def _sample_bilinear(tex, tex_id, s, t, level):
-    """Texture.cpp:157-186. level: [N] int32."""
-    _, width, height, _, _ = tex
-    lw = jnp.maximum(width[tex_id] >> level, 1).astype(jnp.float32)
-    lh = jnp.maximum(height[tex_id] >> level, 1).astype(jnp.float32)
+def _sample_bilinear(tex, tex_id, s, t, level, data4=None):
+    """Texture.cpp:157-186. level: [N] int32.
+
+    With ``data4`` (the [X,12] quad-row atlas from ``_expand_quads``) the whole
+    2x2 footprint arrives in ONE row gather; without it, four texel gathers
+    (identical results - the quad rows are gathered from the same base atlas).
+    """
+    _, width, height, _, offsets, _ = tex
+    lwi = jnp.maximum(width[tex_id] >> level, 1)
+    lhi = jnp.maximum(height[tex_id] >> level, 1)
+    lw = lwi.astype(jnp.float32)
+    lh = lhi.astype(jnp.float32)
     ss = s * lw - 0.5
     tt = t * lh - 0.5
     fs = ss - jnp.floor(ss)
@@ -62,24 +78,34 @@ def _sample_bilinear(tex, tex_id, s, t, level):
     w3 = 1.0 - w0 - w1 - w2
     x0 = jnp.floor(ss).astype(jnp.int32)
     y0 = jnp.floor(tt).astype(jnp.int32)
+    if data4 is None:
+        return (
+            w0[:, None] * _fetch_texel(tex, tex_id, x0, y0, level)
+            + w1[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0, level)
+            + w2[:, None] * _fetch_texel(tex, tex_id, x0, y0 + 1, level)
+            + w3[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0 + 1, level)
+        )
+    x = jnp.mod(x0, lwi)
+    y = jnp.mod(y0, lhi)
+    q = jnp.take(data4, offsets[tex_id, level] + x + y * lwi, axis=0)  # [N,12]
     return (
-        w0[:, None] * _fetch_texel(tex, tex_id, x0, y0, level)
-        + w1[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0, level)
-        + w2[:, None] * _fetch_texel(tex, tex_id, x0, y0 + 1, level)
-        + w3[:, None] * _fetch_texel(tex, tex_id, x0 + 1, y0 + 1, level)
+        w0[:, None] * q[:, 0:3]
+        + w1[:, None] * q[:, 3:6]
+        + w2[:, None] * q[:, 6:9]
+        + w3[:, None] * q[:, 9:12]
     )
 
 
 def _top_texel(tex, tex_id):
     """fetch_texel(0, 0, last_mip): the 1x1 coarsest level."""
-    _, _, _, levels, _ = tex
+    _, _, _, levels, _, _ = tex
     zero = jnp.zeros_like(tex_id)
     return _fetch_texel(tex, tex_id, zero, zero, levels[tex_id] - 1)
 
 
-def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy):
+def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4=None):
     """PBRT-style trilinear LOD from the max abs derivative (Texture.cpp:189-204)."""
-    _, _, _, levels, _ = tex
+    _, _, _, levels, _, _ = tex
     lf = levels[tex_id].astype(jnp.float32)
     width = 2.0 * jnp.maximum(
         jnp.maximum(jnp.abs(ds_dx), jnp.abs(ds_dy)),
@@ -91,10 +117,10 @@ def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy):
     lo = jnp.clip(level, 0, levels[tex_id] - 1)
     hi = jnp.clip(level + 1, 0, levels[tex_id] - 1)
     f = (lam - jnp.floor(lam))[:, None]
-    mixed = (1.0 - f) * _sample_bilinear(tex, tex_id, s, t, lo) + f * _sample_bilinear(
-        tex, tex_id, s, t, hi
-    )
-    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    mixed = (1.0 - f) * _sample_bilinear(
+        tex, tex_id, s, t, lo, data4
+    ) + f * _sample_bilinear(tex, tex_id, s, t, hi, data4)
+    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
     top = _top_texel(tex, tex_id)
     out = jnp.where((level < 0)[:, None], base, mixed)
     out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
@@ -102,11 +128,11 @@ def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy):
 
 
 def _sample_anisotropic(
-    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, max_anisotropy: float
+    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, max_anisotropy: float, data4=None
 ):
     """OpenGL-EXT-style anisotropic filtering (Texture.cpp:207-239): up to N probes
     along the major axis at a sharper mip level, statically unrolled and masked."""
-    _, _, _, levels, _ = tex
+    _, _, _, levels, _, _ = tex
     lf = levels[tex_id].astype(jnp.float32)
     p_x = jnp.maximum(jnp.abs(ds_dx), jnp.abs(dt_dx))
     p_y = jnp.maximum(jnp.abs(ds_dy), jnp.abs(dt_dy))
@@ -131,11 +157,11 @@ def _sample_anisotropic(
         use = fi <= n + 0.001
         x = s + step_s * (fi * inv_np1 - 0.5)
         y = t + step_t * (fi * inv_np1 - 0.5)
-        tap = _sample_bilinear(tex, tex_id, x, y, level_c)
+        tap = _sample_bilinear(tex, tex_id, x, y, level_c, data4)
         acc = acc + jnp.where(use[:, None], tap, 0.0)
     aniso = acc / n[:, None]
 
-    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
     top = _top_texel(tex, tex_id)
     out = jnp.where((level < 0)[:, None], base, aniso)
     out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
@@ -150,9 +176,11 @@ def _ewa_weight(r2):
     return jnp.exp(-_EWA_ALPHA * r2q) - jnp.exp(-_EWA_ALPHA)
 
 
-def _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig):
+def _sample_ewa(
+    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig, data4=None
+):
     """Elliptical weighted average (Texture.cpp:242-337), bounded-window form."""
-    _, width, height, levels, _ = tex
+    _, width, height, levels, _, _ = tex
     lf = levels[tex_id].astype(jnp.float32)
     wf = width[tex_id].astype(jnp.float32)
     hf = height[tex_id].astype(jnp.float32)
@@ -227,7 +255,7 @@ def _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig
             wsum = wsum + wgt
     ewa = acc / jnp.maximum(wsum, 1e-20)[:, None]
 
-    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level))
+    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
     top = _top_texel(tex, tex_id)
     out = jnp.where(degenerate[:, None], bil, ewa)
     out = jnp.where((too_big | at_top)[:, None], top, out)
@@ -247,25 +275,26 @@ def sample(
 ):
     """Config-dispatched texture sample for a wavefront (Texture.h:33-49).
 
-    tex: (data [X,3], width [K], height [K], levels [K], offsets [K,16]).
-    tex_id: [N] int32 per-lane atlas ids (0 = none -> white).
+    tex: (data [X,3], width [K], height [K], levels [K], offsets [K,16],
+    quad_idx [X,4]).  tex_id: [N] int32 per-lane atlas ids (0 = none -> white).
     """
     mode = cfg.texture_sample_mode
     if mode == TextureSampleMode.NEAREST:
         return _sample_nearest(tex, tex_id, s, t)
+    data4 = _expand_quads(tex)  # one whole-atlas gather, shared by every tap
     if mode == TextureSampleMode.BILINEAR:
-        return _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id))
+        return _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
 
     # MIPMAP: non-mipmapped textures (levels == 1) fall back to bilinear
     # (Texture.h:37).
-    _, _, _, levels, _ = tex
+    _, _, _, levels, _, _ = tex
     if cfg.mipmap_filter == MipmapFilter.TRILINEAR:
-        mip = _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy)
+        mip = _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4)
     elif cfg.mipmap_filter == MipmapFilter.ANISOTROPIC:
         mip = _sample_anisotropic(
-            tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg.max_anisotropy
+            tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg.max_anisotropy, data4
         )
     else:
-        mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg)
-    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id))
+        mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg, data4)
+    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
     return jnp.where((levels[tex_id] > 1)[:, None], mip, bil)

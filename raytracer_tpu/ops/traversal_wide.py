@@ -335,7 +335,7 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
     """Straggler ladder (see ops/traversal.py): statically-bounded rounds over
     geometrically smaller compacted wavefronts."""
     n = state["cur"].shape[0]
-    rounds = cfg.wide_rounds
+    rounds = cfg.wide_rounds_any if any_hit else cfg.wide_rounds
 
     def run(s, stk, ow, dw, tf, iters):
         rays_t = (_t(ow), _t(dw))

@@ -330,6 +330,7 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
         scene.tex_height,
         scene.tex_levels,
         scene.tex_offsets,
+        scene.tex_quad,
     )
     if scene.tex_data.shape[0] > 1:
         albedo = diffuse_c * texture_sample.sample(

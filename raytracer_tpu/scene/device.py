@@ -76,6 +76,7 @@ class DeviceScene(NamedTuple):
     tex_height: object  # [K] int32
     tex_levels: object  # [K] int32
     tex_offsets: object  # [K,16] int32
+    tex_quad: object  # [X,4] int32 bilinear-footprint rows (textures.quad_idx)
     # lights
     pl_pos: object  # [Lp,3]
     pl_colour: object  # [Lp,3]
@@ -246,6 +247,7 @@ class ScenePacker:
             tex_height=atlas.height,
             tex_levels=atlas.mip_levels,
             tex_offsets=atlas.mip_offsets,
+            tex_quad=atlas.quad_idx,
             sky_data=desc.sky_data.astype(np.float32),
             sky_size=np.int32(desc.sky_size),
         )
@@ -397,6 +399,7 @@ class ScenePacker:
             tex_height=s["tex_height"],
             tex_levels=s["tex_levels"],
             tex_offsets=s["tex_offsets"],
+            tex_quad=s["tex_quad"],
             pl_pos=jnp.asarray(
                 np.stack([li.position for li in pl]).astype(np.float32)
                 if pl

@@ -106,6 +106,36 @@ class TextureAtlas:
     height: np.ndarray  # [K] int32
     mip_levels: np.ndarray  # [K] int32
     mip_offsets: np.ndarray  # [K, MAX_MIP_LEVELS] int32 global offsets
+    # [T,4] int32: for each texel, the global rows of its bilinear footprint
+    # ((x,y),(x+1,y),(x,y+1),(x+1,y+1), wrap-around baked in).  Lets the device
+    # expand the atlas into quad rows [T,12] with ONE big gather and then fetch a
+    # whole bilinear footprint per sample with ONE row gather instead of four
+    # (gather count is the texture-filter cost on TPU, PERF.md).
+    quad_idx: np.ndarray
+
+
+def _quad_indices(t: TextureData) -> np.ndarray:
+    """[total_texels, 4] LOCAL rows of each texel's 2x2 bilinear footprint,
+    wrap-around addressing per level (Texture.cpp:131-147 semantics)."""
+    out = np.zeros((t.data.shape[0], 4), np.int64)
+    for lv in range(t.mip_levels):
+        lw = max(t.width >> lv, 1)
+        lh = max(t.height >> lv, 1)
+        off = int(t.mip_offsets[lv])
+        xx, yy = np.meshgrid(np.arange(lw), np.arange(lh))
+        x1 = (xx + 1) % lw
+        y1 = (yy + 1) % lh
+        quad = np.stack(
+            [
+                off + xx + yy * lw,
+                off + x1 + yy * lw,
+                off + xx + y1 * lw,
+                off + x1 + y1 * lw,
+            ],
+            axis=-1,
+        )
+        out[off : off + lw * lh] = quad.reshape(-1, 4)
+    return out
 
 
 def build_atlas(textures: list) -> TextureAtlas:
@@ -125,6 +155,7 @@ def build_atlas(textures: list) -> TextureAtlas:
     mip_levels = np.zeros((k,), np.int32)
     mip_offsets = np.zeros((k, MAX_MIP_LEVELS), np.int32)
     chunks = []
+    quads = []
     base = 0
     for i, t in enumerate(all_tex):
         width[i] = t.width
@@ -136,6 +167,7 @@ def build_atlas(textures: list) -> TextureAtlas:
         if t.mip_levels < MAX_MIP_LEVELS:
             mip_offsets[i, t.mip_levels :] = offs[-1]
         chunks.append(t.data)
+        quads.append(base + _quad_indices(t))
         base += t.data.shape[0]
     return TextureAtlas(
         data=np.concatenate(chunks, axis=0).astype(np.float32),
@@ -143,4 +175,5 @@ def build_atlas(textures: list) -> TextureAtlas:
         height=height,
         mip_levels=mip_levels,
         mip_offsets=mip_offsets,
+        quad_idx=np.concatenate(quads, axis=0).astype(np.int32),
     )

@@ -94,7 +94,7 @@ def main():
             mid = jnp.where(hits.hit, hits.material_id, 0)[:m]
             tex_id = jnp.take(scene.mat_texture, mid, axis=0)
             t = (scene.tex_data, scene.tex_width, scene.tex_height,
-                 scene.tex_levels, scene.tex_offsets)
+                 scene.tex_levels, scene.tex_offsets, scene.tex_quad)
             return texture_sample.sample(t, tex_id, hits.u[:m], hits.v[:m],
                                          hits.ds_dx[:m], hits.ds_dy[:m],
                                          hits.dt_dx[:m], hits.dt_dy[:m], cfg)

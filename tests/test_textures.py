@@ -18,6 +18,7 @@ def _atlas_of(rgb, build_mips=True):
         jnp.asarray(atlas.height),
         jnp.asarray(atlas.mip_levels),
         jnp.asarray(atlas.mip_offsets),
+        jnp.asarray(atlas.quad_idx),
     )
 
 
@@ -137,3 +138,19 @@ def test_texture_gradients_flow_to_texels():
     g = jax.grad(loss)(tex[0])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_quad_row_bilinear_matches_four_gathers():
+    """The [X,12] quad-row path must reproduce the 4-texel-gather bilinear exactly
+    (same weights, same texels, wrap included)."""
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(size=(16, 8, 3)).astype(np.float32)
+    tex = _atlas_of(rgb)
+    n = 256
+    sv = jnp.asarray(rng.uniform(-0.2, 1.4, n).astype(np.float32))  # wraps both ways
+    tv = jnp.asarray(rng.uniform(-0.2, 1.4, n).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    tid = jnp.ones((n,), jnp.int32)
+    ref = ts._sample_bilinear(tex, tid, sv, tv, lvl)
+    q = ts._sample_bilinear(tex, tid, sv, tv, lvl, ts._expand_quads(tex))
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref), atol=1e-6)
