@@ -56,7 +56,7 @@ def render_loss(params, scene, target, cfg: RenderConfig, pixel_idx=None):
     if pixel_idx is None:
         img, _ = renderer.render_with_stats(scene, cfg)
         return image_loss(img, target)
-    rgb, _ = renderer.render_wavefront(scene, cfg, pixel_idx)
+    rgb, _ = renderer.render_pixels(scene, cfg, pixel_idx)
     return image_loss(rgb, target)
 
 
@@ -101,7 +101,7 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, axes=None, optimizer=None,
 
     def _local_loss_and_grad(params, scene, target_flat, pixel_idx):
         def local_loss(p):
-            rgb, _ = renderer.render_wavefront(apply_params(scene, p), cfg, pixel_idx)
+            rgb, _ = renderer.render_pixels(apply_params(scene, p), cfg, pixel_idx)
             tgt = jnp.take(target_flat, pixel_idx, axis=0)
             # sum (not mean) locally so psum over shards gives the global sum
             return jnp.sum((rgb - tgt) ** 2)

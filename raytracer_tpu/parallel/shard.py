@@ -41,7 +41,7 @@ def make_sharded_renderer(cfg: RenderConfig, mesh: Mesh, axes=None):
     inv_dev = jnp.asarray(inv_perm)
 
     def _shard_fn(scene, pixel_idx):
-        rgb, stats = renderer.render_wavefront(scene, cfg, pixel_idx)
+        rgb, stats = renderer.render_pixels(scene, cfg, pixel_idx)
         # all-reduce the per-shard ray counters (the analog of
         # WorkerThreads::sum_performance_stats, WorkerThread.cpp:131-148)
         stats = jax.tree_util.tree_map(

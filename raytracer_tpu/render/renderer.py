@@ -532,17 +532,21 @@ def _compact(cand: dict, capacity: int):
 # ---------------------------------------------------------------------------
 
 
-def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
+def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
     """Render an arbitrary batch of pixels; returns (rgb [n,3], RenderStats).
 
     This is the shardable unit: pixel_idx may be any subset/permutation of the frame
     (strided across devices for load balance, SURVEY.md section 7 hard parts).
+    Negative pixel indices mark padding lanes: they trace nothing and contribute
+    zero.  ``bvh`` is the prebuilt frame traversal structure; passing it lets the
+    chunked driver hoist the per-frame assembly out of the chunk loop.
     """
     n = pixel_idx.shape[0]
-    rays = primary_rays_for(scene, cfg, pixel_idx)
+    lane_active = pixel_idx >= 0
+    rays = primary_rays_for(scene, cfg, jnp.maximum(pixel_idx, 0))
     fb = jnp.zeros((n, 3), jnp.float32)
     stats = RenderStats(
-        num_primary=jnp.int32(n),
+        num_primary=jnp.sum(lane_active.astype(jnp.int32)),
         num_shadow=jnp.int32(0),
         num_reflection=jnp.int32(0),
         num_refraction=jnp.int32(0),
@@ -550,15 +554,15 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
         num_incomplete=jnp.int32(0),
     )
 
-    has_mesh = scene.n_instances > 0
-    bvh = _traversal_module(cfg).build_scene_bvh(scene) if has_mesh else None
+    if bvh is None and scene.n_instances > 0:
+        bvh = _traversal_module(cfg).build_scene_bvh(scene)
 
     gen = _Generation(
         rays=rays,
         weight=jnp.ones((n, 3), jnp.float32),
         sigma=jnp.zeros((n, 3), jnp.float32),
         pixel=jnp.arange(n, dtype=jnp.int32),
-        active=jnp.ones((n,), bool),
+        active=lane_active,
     )
 
     qf = cfg.queue_factor
@@ -591,9 +595,53 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx):
     return fb, stats
 
 
+def render_pixels(scene, cfg: RenderConfig, pixel_idx):
+    """Chunked wavefront render over an arbitrary pixel batch.
+
+    The analog of the reference's 32x32-tile decomposition (WorkerThread.cpp:53-69,
+    Window.h:32-33): the batch is cut into fixed-size chunks of
+    ``cfg.traversal_chunk`` pixels and rendered by ONE compiled chunk program
+    iterated with ``lax.map``.  This bounds both the XLA program size (the bounce
+    pipeline is traced once, not once per frame-sized wavefront) and, with
+    ``jax.checkpoint`` on the chunk body, the reverse-mode activation memory — the
+    bwd pass rematerializes one chunk at a time instead of saving whole-frame
+    residuals.
+
+    Chunks take *strided* lanes (chunk c gets pixels c, c+n_chunks, ...) so each
+    chunk sees a uniform sample of the frame: per-chunk secondary-queue load stays
+    balanced even when geometry is concentrated in one screen region (the same
+    argument as strided device sharding, SURVEY.md section 7).
+    """
+    n = pixel_idx.shape[0]
+    chunk = min(cfg.traversal_chunk, n)
+    n_chunks = -(-n // chunk)
+    bvh = (
+        _traversal_module(cfg).build_scene_bvh(scene)
+        if scene.n_instances > 0
+        else None
+    )
+    if n_chunks <= 1:
+        return render_wavefront(scene, cfg, pixel_idx, bvh=bvh)
+
+    padded = n_chunks * chunk
+    idx = jnp.concatenate(
+        [pixel_idx, jnp.full((padded - n,), -1, pixel_idx.dtype)]
+    )
+    idx_chunks = idx.reshape(chunk, n_chunks).T  # [n_chunks, chunk], strided
+
+    @jax.checkpoint
+    def body(ic):
+        return render_wavefront(scene, cfg, ic, bvh=bvh)
+
+    fb_c, stats_c = jax.lax.map(body, idx_chunks)
+    fb = fb_c.transpose(1, 0, 2).reshape(padded, 3)[:n]
+    stats = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), stats_c)
+    return fb, stats
+
+
 def render_with_stats(scene, cfg: RenderConfig):
     """Render one full frame; returns (linear [H,W,3] image, RenderStats)."""
-    fb, stats = render_wavefront(
+    fb, stats = render_pixels(
         scene, cfg, jnp.arange(cfg.num_pixels, dtype=jnp.int32)
     )
     return fb.reshape(cfg.height, cfg.width, 3), stats

@@ -158,6 +158,24 @@ def test_dielectric_energy_finite():
     assert int(stats.num_reflection) > 0
 
 
+def test_chunked_matches_whole_frame():
+    """render_pixels chunking (the 32x32-tile analog, WorkerThread.cpp:53-69) is
+    image- and stats-identical to the single-wavefront path, including the padded
+    final chunk (1536 pixels, chunk=250 -> 7 chunks with 214 padding lanes)."""
+    desc, cfg = scenes.config0_sphere_plane()
+    cfg = cfg.replace(width=48, height=32)
+    scene = pack_scene(desc, cfg.width, cfg.height)
+    img_w, st_w = renderer.render_with_stats(
+        scene, cfg.replace(traversal_chunk=1 << 20)
+    )
+    img_c, st_c = renderer.render_with_stats(
+        scene, cfg.replace(traversal_chunk=250)
+    )
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_w), atol=1e-5)
+    for a, b in zip(st_w, st_c):
+        assert int(a) == int(b)
+
+
 def test_fxaa_shape_and_range():
     from raytracer_tpu.ops import fxaa
 
