@@ -21,7 +21,7 @@ from ..config import MeshAccelerator
 from ..scene.meshgen import MeshData
 from .bvh import BVH, build_bvh, triangle_bounds
 
-_BUILDER_VERSION = 6  # bump to invalidate cached BVHs
+_BUILDER_VERSION = 7  # bump to invalidate cached BVHs
 
 
 @dataclasses.dataclass
@@ -127,18 +127,25 @@ def build_blas(
     else:
         bvh = _build_plain(mesh)
         order = bvh.prim_order
+    n_refs_built = len(order)
+
+    # Merge small sibling subtrees into single <= 8-triangle leaves (dedupes SBVH
+    # straddler copies; one fat-gather record per merged leaf — PERF.md lever #5).
+    node_min, node_max, node_left, node_count, node_axis, order = merge_small_leaves(
+        bvh.node_min, bvh.node_max, bvh.node_left, bvh.node_count, bvh.node_axis,
+        order,
+    )
+
     if verbose:
         print(
             f"Mesh {'S' if accelerator == MeshAccelerator.SBVH else ''}BVH construction: "
-            f"{mesh.triangle_count} tris -> {len(order)} refs, "
-            f"{(time.time() - t0) * 1e3:.1f} ms"
+            f"{mesh.triangle_count} tris -> {n_refs_built} refs -> "
+            f"{len(order)} merged, {(time.time() - t0) * 1e3:.1f} ms"
         )
 
     from .links import BLAS_EXIT, compute_links
 
-    links = compute_links(
-        bvh.node_left, bvh.node_count, bvh.node_axis, exit_sentinel=BLAS_EXIT
-    )
+    links = compute_links(node_left, node_count, node_axis, exit_sentinel=BLAS_EXIT)
 
     # 8-pad leaf ranges: every leaf's triangle range starts 8-aligned with length a
     # multiple of 8 (short leaves duplicate their last triangle — harmless for
@@ -146,22 +153,22 @@ def build_blas(
     # [T/8,72] record gather; the binary kernel's pair cursor still works (8-aligned
     # implies pair-aligned).
     node_left, node_count, order = _pad_leaf_multiple(
-        bvh.node_left.copy(), bvh.node_count.copy(), order, 8
+        node_left.copy(), node_count.copy(), order, 8
     )
 
     from .wide import collapse_blas
 
-    wideb = collapse_blas(bvh.node_min, bvh.node_max, node_left, node_count)
+    wideb = collapse_blas(node_min, node_max, node_left, node_count)
 
     # flatten(): copy triangles into leaf order, dropping the index indirection
     # (BottomLevelBVH.cpp:196-212); SBVH reference duplication falls out naturally.
     p0 = mesh.p0[order]
     blas = Blas(
-        node_min=bvh.node_min,
-        node_max=bvh.node_max,
+        node_min=node_min,
+        node_max=node_max,
         node_left=node_left,
         node_count=node_count,
-        node_axis=bvh.node_axis,
+        node_axis=node_axis,
         tri_p0=p0,
         tri_e1=mesh.p1[order] - p0,
         tri_e2=mesh.p2[order] - p0,
@@ -195,6 +202,96 @@ def build_blas(
         )
     _blas_memory_cache[key] = blas
     return blas
+
+
+def merge_small_leaves(
+    node_min, node_max, node_left, node_count, node_axis, order, max_leaf: int = 8
+):
+    """Collapse whole subtrees holding <= ``max_leaf`` unique triangle refs into
+    single leaves, deduplicating SBVH straddler copies.
+
+    The reference's flatten pass (BottomLevelBVH.cpp:196-212) drops the index
+    indirection; on this TPU the traversal unit is "one fat gather" retiring one
+    8-triangle record OR one 8-child node (PERF.md), so a subtree with <= 8 unique
+    triangles costs >= 3 gather-iterations as a subtree but exactly 1 as a merged
+    leaf — strictly fewer iterations for the same triangle tests (triangle tests
+    inside a record are free relative to the gather).  SBVH spatial splits
+    duplicate straddling refs into sibling leaves; merging reunites them, so the
+    8-padded record count drops ~3x on Sponza-class meshes (the "4.2x padded-ref
+    inflation" lever, PERF.md #5).
+
+    Returns (node_min, node_max, node_left, node_count, node_axis, order) of the
+    compacted tree, same pairs layout (root 0, pad 1, children in pairs from 2).
+    """
+    n_nodes = node_left.shape[0]
+    if n_nodes <= 2:
+        return node_min, node_max, node_left, node_count, node_axis, order
+    is_leaf = node_count > 0
+
+    # Bottom-up unique-ref sets, capped: refs[n] is the subtree's unique triangle
+    # set when it fits in max_leaf, else None.  Post-order via explicit DFS stack
+    # (no assumption that child index > parent index).
+    refs: list = [None] * n_nodes
+    stack = [(0, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if is_leaf[node]:
+            first, cnt = int(node_left[node]), int(node_count[node])
+            s = set(order[first : first + cnt].tolist())
+            refs[node] = s if len(s) <= max_leaf else None
+            continue
+        left = int(node_left[node])
+        if not expanded:
+            stack.append((node, True))
+            stack.append((left, False))
+            stack.append((left + 1, False))
+            continue
+        a, b = refs[left], refs[left + 1]
+        if a is not None and b is not None:
+            u = a | b
+            if len(u) <= max_leaf:
+                refs[node] = u
+
+    # Top-down rebuild: a node with a resolved ref set becomes a leaf.
+    out_min, out_max = [node_min[0], node_min[0]], [node_max[0], node_max[0]]
+    out_left, out_count, out_axis = [0, 0], [0, 0], [0, 0]
+    new_order: list = []
+    walk = [(0, 0)]  # (old node, new node)
+    while walk:
+        old, new = walk.pop()
+        out_min[new] = node_min[old]
+        out_max[new] = node_max[old]
+        out_axis[new] = int(node_axis[old])
+        if refs[old] is not None or is_leaf[old]:
+            if refs[old] is not None:
+                tris = sorted(refs[old])
+            else:  # unmergeable big leaf (> max_leaf unique refs): keep verbatim
+                first, cnt = int(node_left[old]), int(node_count[old])
+                tris = order[first : first + cnt].tolist()
+            out_left[new] = len(new_order)
+            out_count[new] = len(tris)
+            new_order.extend(tris)
+            continue
+        child = len(out_min)
+        for _ in range(2):
+            out_min.append(node_min[old])
+            out_max.append(node_max[old])
+            out_left.append(0)
+            out_count.append(0)
+            out_axis.append(0)
+        out_left[new] = child
+        out_count[new] = 0
+        walk.append((int(node_left[old]), child))
+        walk.append((int(node_left[old]) + 1, child + 1))
+
+    return (
+        np.asarray(out_min, node_min.dtype),
+        np.asarray(out_max, node_max.dtype),
+        np.asarray(out_left, np.int32),
+        np.asarray(out_count, np.int32),
+        np.asarray(out_axis, np.int32),
+        np.asarray(new_order, np.int32),
+    )
 
 
 def _pad_leaf_multiple(node_left, node_count, order, mult):
