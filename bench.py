@@ -37,7 +37,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from raytracer_tpu.diff.train import apply_params, extract_params, image_loss
+    from raytracer_tpu.diff.train import (
+        apply_params,
+        extract_params,
+        image_loss,
+        make_accum_grad_fn,
+    )
     from raytracer_tpu.render import renderer
     from raytracer_tpu.scene import scenes
     from raytracer_tpu.scene.device import ScenePacker
@@ -66,7 +71,7 @@ def main():
     stats = jax.tree_util.tree_map(int, jax.device_get(stats))
     print(
         f"# fwd compile+run {time.time() - t0:.1f}s (mean {loss0:.5f}, "
-        f"incomplete {stats.num_incomplete})",
+        f"incomplete {stats.num_incomplete}, dropped {stats.num_dropped})",
         file=sys.stderr,
     )
     total_rays = (
@@ -93,35 +98,63 @@ def main():
         params = extract_params(scene)
         target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
-        def loss_fn(p):
-            image, _ = renderer.render_with_stats(apply_params(scene, p), cfg)
-            return image_loss(image, target)
+        # scene/target MUST be jit arguments: closed-over device arrays are baked
+        # into the HLO as literal constants (~160 MB for the Sponza scene), which
+        # the tunneled runtime rejects (HTTP 413)
+        def loss_fn(p, s, tgt):
+            image, _ = renderer.render_with_stats(apply_params(s, p), cfg)
+            return image_loss(image, tgt)
 
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(bwd_timeout)
         t0 = time.time()
-        loss, grads = grad_fn(params)
+        loss, grads = grad_fn(params, scene, target)
         jax.block_until_ready(grads)
         signal.alarm(0)
         print(f"# bwd compile+run {time.time() - t0:.1f}s, loss={float(loss):.6f}",
               file=sys.stderr)
         step_s = time_best(
-            lambda: grad_fn(params), lambda o: jax.block_until_ready(o[1])
+            lambda: grad_fn(params, scene, target),
+            lambda o: jax.block_until_ready(o[1]),
         )
         print(f"# fwd+bwd step {step_s*1e3:.1f} ms", file=sys.stderr)
-    except _Timeout:
+    except (_Timeout, Exception) as e:  # noqa: BLE001
         signal.alarm(0)
-        print("# bwd compile exceeded budget; reporting forward-only",
+        why = "compile budget" if isinstance(e, _Timeout) else f"{type(e).__name__}: {e}"
+        print(f"# in-jit bwd unavailable ({why}); trying grad accumulation",
               file=sys.stderr)
-        mode = "fwd"
-        step_s = fwd_s
-    except Exception as e:  # noqa: BLE001
-        signal.alarm(0)
-        print(f"# bwd failed ({type(e).__name__}: {e}); forward-only",
-              file=sys.stderr)
-        mode = "fwd"
-        step_s = fwd_s
+        # Host-driven chunked fwd+bwd: one O(chunk) compiled program, grads
+        # accumulated over strided pixel chunks — same loss/grads, program size
+        # independent of frame size (diff/train.py:make_accum_grad_fn).
+        try:
+            params = extract_params(scene)
+            target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+            accum = make_accum_grad_fn(cfg)
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(bwd_timeout)
+            t0 = time.time()
+            loss, grads, bstats = accum(params, scene, target)
+            jax.block_until_ready(grads)
+            signal.alarm(0)
+            bstats = jax.tree_util.tree_map(int, jax.device_get(bstats))
+            print(
+                f"# accum bwd compile+run {time.time() - t0:.1f}s, "
+                f"loss={float(loss):.6f}, incomplete {bstats.num_incomplete}, "
+                f"dropped {bstats.num_dropped}",
+                file=sys.stderr,
+            )
+            step_s = time_best(
+                lambda: accum(params, scene, target),
+                lambda o: jax.block_until_ready(o[1]),
+            )
+            print(f"# fwd+bwd(accum) step {step_s*1e3:.1f} ms", file=sys.stderr)
+        except (_Timeout, Exception) as e2:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"# accum bwd failed ({type(e2).__name__}: {e2}); forward-only",
+                  file=sys.stderr)
+            mode = "fwd"
+            step_s = fwd_s
 
     mrays = total_rays / step_s / 1e6
     print(json.dumps({

@@ -80,14 +80,17 @@ class RenderConfig:
     # the scan window is statically capped at ewa_max_span x ewa_max_span texels.
     ewa_max_span: int = 16
 
-    # BVH settings (Config.h:22-35)
+    # BVH settings (Config.h:22-35).  The reference's BVH_TRAVERSAL_STACK_SIZE
+    # (Config.h:25) has no direct analog: the threaded kernel is stackless and the
+    # wide kernel's short packed stack is sized by ``wide_stack_size`` below.
     visualize_heatmap: bool = False
-    traversal_stack_size: int = 64  # BVH_TRAVERSAL_STACK_SIZE (Config.h:25)
+    # NAIVE = direction-independent child visit order; ORDERED = near-child-first
+    # by ray octant (BVH_TRAVERSE_TREE_* Config.h:27-30) — consumed by both
+    # traversal kernels (ops/traversal.py, ops/traversal_wide.py).
     traversal_strategy: TraversalStrategy = TraversalStrategy.ORDERED
+    # BVH vs SBVH builder selection (MESH_ACCELERATOR_* Config.h:32-35) — consumed
+    # by the scene factories (scene/scenes.py passes it to build_blas).
     mesh_accelerator: MeshAccelerator = MeshAccelerator.SBVH
-    # Our builders guarantee leaves of at most this many primitives so the wavefront
-    # traversal can unroll leaf iteration statically.
-    max_leaf_size: int = 4
 
     # Rays per traversal chunk: bounds the stack memory of the wavefront traversal
     # (the analog of the reference's 32x32 tile decomposition, Window.h:32-33).

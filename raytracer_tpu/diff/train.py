@@ -60,6 +60,65 @@ def render_loss(params, scene, target, cfg: RenderConfig, pixel_idx=None):
     return image_loss(rgb, target)
 
 
+def make_accum_grad_fn(cfg: RenderConfig, chunk: int | None = None):
+    """Host-driven chunked fwd+bwd: compile ONE microbatch loss+grad program and
+    accumulate gradients over strided pixel chunks from the host loop.
+
+    This is the dispatch-level analog of the reference's tile loop
+    (WorkerThread.cpp:53-69) and of microbatch gradient accumulation in
+    large-model training: the compiled program is O(chunk) — independent of the
+    frame size — so arbitrarily large frames differentiate under any program-size
+    ceiling (the tunneled runtime rejects uploads past ~tens of MB of HLO), at
+    the cost of one dispatch round-trip per chunk.
+
+    Returns ``fn(params, scene, target) -> (loss, grads, RenderStats)`` where
+    loss/grads match the in-jit whole-frame MSE exactly (sum re-scaled once).
+    """
+    import numpy as np
+
+    chunk = chunk or cfg.traversal_chunk
+
+    @jax.jit
+    def micro(params, scene, target_flat, pixel_idx):
+        def loss_sum(p):
+            rgb, stats = renderer.render_wavefront(
+                apply_params(scene, p), cfg, pixel_idx
+            )
+            tgt = jnp.take(target_flat, jnp.maximum(pixel_idx, 0), axis=0)
+            valid = (pixel_idx >= 0)[:, None]
+            return jnp.sum(jnp.where(valid, (rgb - tgt) ** 2, 0.0)), stats
+
+        (s, stats), grads = jax.value_and_grad(loss_sum, has_aux=True)(params)
+        return s, grads, stats
+
+    n = cfg.num_pixels
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    idx = np.concatenate(
+        [np.arange(n, dtype=np.int32), np.full(padded - n, -1, np.int32)]
+    )
+    idx_chunks = jnp.asarray(idx.reshape(chunk, n_chunks).T)  # strided, as render_pixels
+
+    def fn(params, scene, target):
+        target_flat = target.reshape(-1, 3)
+        loss = None
+        grads = None
+        stats = None
+        for c in range(n_chunks):
+            s, g, st = micro(params, scene, target_flat, idx_chunks[c])
+            loss = s if loss is None else loss + s
+            grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
+            stats = st if stats is None else jax.tree_util.tree_map(jnp.add, stats, st)
+        scale = 1.0 / (n * 3)
+        return (
+            loss * scale,
+            jax.tree_util.tree_map(lambda g: g * scale, grads),
+            stats,
+        )
+
+    return fn
+
+
 def make_train_step(cfg: RenderConfig, optimizer=None, fields=DIFFERENTIABLE_FIELDS):
     """Adam train step over the differentiable scene parameters (single device)."""
     import optax

@@ -227,7 +227,8 @@ def _alive(s: dict, any_hit: bool):
     return a
 
 
-def _step(bvh: SceneBVH, s: dict, o_w, d_w, t_fixed, any_hit: bool) -> dict:
+def _step(bvh: SceneBVH, s: dict, o_w, d_w, t_fixed, any_hit: bool,
+          ordered: bool = True) -> dict:
     n_nodes = bvh.n_nodes
     cursor = s["cursor"]
     has_tri = (cursor & 15) > 0
@@ -245,7 +246,8 @@ def _step(bvh: SceneBVH, s: dict, o_w, d_w, t_fixed, any_hit: bool) -> dict:
 
     o, d, inst = _transform_rays(bvh, ri, o_w, d_w)
     inv_d = 1.0 / d
-    oct_ = _octant(d)
+    # NAIVE (Config.h:27-30): direction-independent child order = octant-0 links
+    oct_ = _octant(d) if ordered else jnp.zeros((d.shape[0],), jnp.int32)
 
     # ---- triangle phase: one PAIR of Moller-Trumbore tests ----
     pi = jnp.where(has_tri, cursor >> 4, 0)
@@ -321,19 +323,24 @@ def _run_rounds(bvh, state, o_w, d_w, t_fixed, cfg, any_hit: bool):
     compacted wavefronts (see module docstring)."""
     n = state["cur"].shape[0]
     rounds = cfg.traversal_rounds
+    from ..config import TraversalStrategy
+
+    ordered = cfg.traversal_strategy == TraversalStrategy.ORDERED
 
     def run(s, ow, dw, tf, iters):
         return jax.lax.fori_loop(
             0,
             iters,
-            lambda i, st: _step(bvh, st, ow, dw, tf, any_hit),
+            lambda i, st: _step(bvh, st, ow, dw, tf, any_hit, ordered),
             s,
             unroll=cfg.traversal_unroll,
         )
 
-    state = run(state, o_w, d_w, t_fixed, rounds[0][1])
-    for frac, iters in rounds[1:]:
+    for ri, (frac, iters) in enumerate(rounds):
         m = max(int(round(n * frac)), 256)
+        if ri == 0 and frac >= 1.0:
+            state = run(state, o_w, d_w, t_fixed, iters)
+            continue
         if m >= n:
             state = run(state, o_w, d_w, t_fixed, iters)
             continue

@@ -147,7 +147,8 @@ def _alive(s: dict, any_hit: bool):
     return a
 
 
-def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool):
+def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool,
+          ordered: bool = True):
     """One traversal iteration.  rays_t = (o_t, d_t): [B,3,128] transposed
     world-space ray components (constant over the round)."""
     o_t, d_t = rays_t
@@ -187,11 +188,16 @@ def _step(bvh: WideSceneBVH, s, stack, rays_t, t_fixed, any_hit: bool):
     dy = m[:, 4] * dwx + m[:, 5] * dwy + m[:, 6] * dwz
     dz = m[:, 8] * dwx + m[:, 9] * dwy + m[:, 10] * dwz
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-    oct_t = (
-        (dx > 0).astype(jnp.int32)
-        | ((dy > 0).astype(jnp.int32) << 1)
-        | ((dz > 0).astype(jnp.int32) << 2)
-    )
+    if ordered:
+        oct_t = (
+            (dx > 0).astype(jnp.int32)
+            | ((dy > 0).astype(jnp.int32) << 1)
+            | ((dz > 0).astype(jnp.int32) << 2)
+        )
+    else:
+        # BVH_TRAVERSE_TREE_NAIVE (Config.h:27-30): fixed, direction-independent
+        # child order — every ray reads the octant-0 record
+        oct_t = jnp.zeros_like(dx, jnp.int32)
     tb = t_best.reshape(b, _LANES)
 
     # ---- ONE fat gather for the iteration: node record OR leaf record ----
@@ -333,22 +339,33 @@ def _round_up(n, mult):
 
 def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
     """Straggler ladder (see ops/traversal.py): statically-bounded rounds over
-    geometrically smaller compacted wavefronts."""
+    geometrically smaller compacted wavefronts.
+
+    Round 0 may itself have frac < 1.0: the wavefront is then compacted to the
+    ALIVE lanes (inactive rays are EXIT from birth) before any iteration runs —
+    the cheap-first-compaction shape used for shadow wavefronts where a large
+    fraction of lanes is culled before traversal (back-facing / zero-contribution,
+    renderer.py)."""
     n = state["cur"].shape[0]
     rounds = cfg.wide_rounds_any if any_hit else cfg.wide_rounds
+    from ..config import TraversalStrategy
+
+    ordered = cfg.traversal_strategy == TraversalStrategy.ORDERED
 
     def run(s, stk, ow, dw, tf, iters):
         rays_t = (_t(ow), _t(dw))
 
         def body(i, carry):
             st, sk = carry
-            return _step(bvh, st, sk, rays_t, tf, any_hit)
+            return _step(bvh, st, sk, rays_t, tf, any_hit, ordered)
 
         return jax.lax.fori_loop(0, iters, body, (s, stk), unroll=cfg.traversal_unroll)
 
-    state, stack = run(state, stack, o_w, d_w, t_fixed, rounds[0][1])
-    for frac, iters in rounds[1:]:
+    for ri, (frac, iters) in enumerate(rounds):
         m = _round_up(max(int(round(n * frac)), 256), _LANES)
+        if ri == 0 and frac >= 1.0:
+            state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
+            continue
         if m >= n:
             state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
             continue

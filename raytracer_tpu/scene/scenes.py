@@ -59,7 +59,7 @@ def _default_sky(desc, size=256):
     desc.set_sky(data, s)
 
 
-def config0_sphere_plane() -> tuple:
+def config0_sphere_plane(accelerator=MeshAccelerator.SBVH) -> tuple:
     """BASELINE config[0]: one sphere + plane, one point light, diffuse, 256^2,
     primary rays only."""
     desc = SceneDescription()
@@ -72,17 +72,18 @@ def config0_sphere_plane() -> tuple:
         PointLight(np.array([30.0, 30.0, 30.0]), np.array([3.0, 4.0, 4.0]))
     )
     desc.camera.position = np.array([0.0, 0.5, 0.0])
-    cfg = RenderConfig(width=256, height=256, num_bounces=0, queue_factor=1.0)
+    cfg = RenderConfig(width=256, height=256, num_bounces=0, queue_factor=1.0,
+                       mesh_accelerator=accelerator)
     return desc, cfg
 
 
-def config1_monkey() -> tuple:
+def config1_monkey(accelerator=MeshAccelerator.SBVH) -> tuple:
     """BASELINE config[1]: Monkey mesh through SBVH, spot + directional shadows,
     512^2."""
     desc = SceneDescription()
     _default_sky(desc)
     mesh = _load_mesh("Monkey.obj", lambda: meshgen.icosphere(1.0, 4))
-    _register_mesh(desc, "monkey", mesh)
+    _register_mesh(desc, "monkey", mesh, accelerator)
     inst = desc.add_instance("monkey", (0.0, 1.0, 6.0))
     inst.transform.rotation = quat.axis_angle([0.0, 1.0, 0.0], np.pi)
     p = desc.add_plane((0.0, -1.0, 0.0))
@@ -100,11 +101,12 @@ def config1_monkey() -> tuple:
         DirectionalLight(np.array([0.5, 0.5, 0.5]), np.array([0.2, -1.0, 0.1]))
     )
     desc.camera.position = np.array([0.0, 1.5, 0.5])
-    cfg = RenderConfig(width=512, height=512, num_bounces=1, queue_factor=1.0)
+    cfg = RenderConfig(width=512, height=512, num_bounces=1, queue_factor=1.0,
+                       mesh_accelerator=accelerator)
     return desc, cfg
 
 
-def config2_dielectric() -> tuple:
+def config2_dielectric(accelerator=MeshAccelerator.SBVH) -> tuple:
     """BASELINE config[2]: Diamond + Magnifier dielectrics, recursion depth 8, ray
     differentials."""
     desc = SceneDescription()
@@ -116,8 +118,8 @@ def config2_dielectric() -> tuple:
             m.transmittance = np.array([0.95, 0.95, 0.95])
             m.index_of_refraction = 1.52
             m.reflection = np.array([0.1, 0.1, 0.1])
-    _register_mesh(desc, "diamond", diamond)
-    _register_mesh(desc, "magnifier", magnifier)
+    _register_mesh(desc, "diamond", diamond, accelerator)
+    _register_mesh(desc, "magnifier", magnifier, accelerator)
     desc.add_instance("diamond", (-1.6, 1.2, 6.0))
     desc.add_instance("magnifier", (1.6, 1.2, 6.0))
 
@@ -138,7 +140,8 @@ def config2_dielectric() -> tuple:
         DirectionalLight(np.array([0.4, 0.4, 0.45]), np.array([0.0, -1.0, 0.2]))
     )
     desc.camera.position = np.array([0.0, 1.8, 0.0])
-    cfg = RenderConfig(width=512, height=512, num_bounces=8, queue_factor=2.0)
+    cfg = RenderConfig(width=512, height=512, num_bounces=8, queue_factor=2.0,
+                       mesh_accelerator=accelerator)
     return desc, cfg
 
 
@@ -182,7 +185,8 @@ class SponzaScene(SceneDescription):
                 self.camera.rotation = quat.look_rotation(forward, [0.0, 1.0, 0.0])
 
 
-def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_000):
+def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_000,
+                   accelerator=MeshAccelerator.SBVH):
     """BASELINE config[3]: Sponza 1080p — full SBVH, mipmapped textures, all light
     types (reference default workload, Scene.cpp:75-130 + Config.h:6-16)."""
     desc = SponzaScene()
@@ -192,7 +196,7 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         mesh = objloader.load_obj(sponza_path)
     else:
         mesh = meshgen.sponza_like(target_triangles)
-    _register_mesh(desc, "sponza", mesh)
+    _register_mesh(desc, "sponza", mesh, accelerator)
     desc.add_instance("sponza", (0.0, 0.0, 0.0))
 
     magnifier = _load_mesh("Magnifier.obj", lambda: meshgen.torus(1.0, 0.18, 48, 16))
@@ -201,8 +205,8 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         if float(np.sum(m.transmittance)) == 0.0:
             m.transmittance = np.array([0.9, 0.9, 0.9])
             m.index_of_refraction = 1.5
-    _register_mesh(desc, "magnifier", magnifier)
-    _register_mesh(desc, "concave", concave)
+    _register_mesh(desc, "magnifier", magnifier, accelerator)
+    _register_mesh(desc, "concave", concave, accelerator)
     desc.add_instance("magnifier", (6.0, 2.0, 0.0))
     c = desc.add_instance("concave", (20.0, 2.0, 0.0))
     c.transform.rotation = quat.axis_angle([0.0, 1.0, 0.0], np.pi)
@@ -226,7 +230,8 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
     # mostly-diffuse scene: deep generations carry few rays
     cfg = RenderConfig(
-        width=width, height=height, num_bounces=3, queue_factor=(0.25, 0.1, 0.05)
+        width=width, height=height, num_bounces=3, queue_factor=(0.25, 0.1, 0.05),
+        mesh_accelerator=accelerator,
     )
     return desc, cfg
 
@@ -266,7 +271,8 @@ class DynamicScene(SceneDescription):
         )
 
 
-def config4_dynamic(width: int = 900, height: int = 600) -> tuple:
+def config4_dynamic(width: int = 900, height: int = 600,
+                    accelerator=MeshAccelerator.SBVH) -> tuple:
     """BASELINE config[4] / reference SCENE_DYNAMIC: per-frame TLAS rebuild over
     animated shared-BLAS instances."""
     desc = DynamicScene()
@@ -300,7 +306,7 @@ def config4_dynamic(width: int = 900, height: int = 600) -> tuple:
         "torus": _load_mesh("Torus.obj", lambda: meshgen.torus(1.0, 0.35, 48, 24)),
     }
     for k, m in meshes.items():
-        _register_mesh(desc, k, m)
+        _register_mesh(desc, k, m, accelerator)
     desc.add_instance("diamond", (0.0, 1.0, 0.0))
     desc.add_instance("monkey", (4.0, 2.0, 0.0))
     desc.add_instance("icosphere", (0.0, 3.0, 4.0))
@@ -328,7 +334,8 @@ def config4_dynamic(width: int = 900, height: int = 600) -> tuple:
     )
     desc.camera.position = np.array([-4.694016, 6.446100, -0.572288])
     desc.camera.rotation = np.array([0.268476, 0.423740, -0.133092, 0.854779])
-    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=1.0)
+    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=1.0,
+                       mesh_accelerator=accelerator)
     return desc, cfg
 
 
@@ -341,9 +348,9 @@ SCENES = {
 }
 
 
-def make_scene(name: str):
+def make_scene(name: str, **kwargs):
     if name not in SCENES:
         raise ValueError(
             f"unknown scene {name!r}; available: {', '.join(sorted(SCENES))}"
         )
-    return SCENES[name]()
+    return SCENES[name](**kwargs)
