@@ -122,23 +122,25 @@ class RenderConfig:
     # (Sponza-class primaries: S=16 suffices, S=12 truncates ~0.005%).
     wide_stack_size: int = 16
     # Straggler ladder for the wide kernel, tuned to the measured Sponza-class
-    # camera-primary aliveness curve (PERF.md): 33% alive @16 wide iterations,
-    # 0.5% @32, 0 @64 — effective cost ~24 full-wavefront iterations.
+    # camera-primary aliveness curve AFTER leaf merging (scratch/aliveness.py:
+    # 52% alive @12 wide iterations, 15% @16, 3.8% @20, 0.07% @32, 0 @48) —
+    # effective cost ~18.8 full-wavefront iterations (was 24 pre-merge).
     wide_rounds: tuple = (
-        (1.0, 16),
-        (0.375, 16),
-        (1.0 / 32, 32),
-        (1.0 / 256, 256),
+        (1.0, 12),
+        (0.65, 8),
+        (1.0 / 16, 12),
+        (1.0 / 128, 48),
+        (1.0 / 512, 224),
     )
     # Any-hit (shadow) rays retire at the FIRST hit, so their aliveness curve
-    # drops much faster (measured Sponza-class, scratch/aliveness.py: 41% alive
-    # @8 wide iterations, 5.5% @16, 0.1% @32): compact earlier and more often.
+    # drops much faster (measured post-merge: 45% alive @8, 12% @12, 0.74% @20,
+    # 0.007% @32): compact earlier and more often; ~12.2 effective iterations.
     wide_rounds_any: tuple = (
         (1.0, 8),
-        (0.5, 8),
-        (0.125, 16),
-        (1.0 / 64, 32),
-        (1.0 / 512, 192),
+        (0.55, 4),
+        (0.15, 8),
+        (1.0 / 64, 24),
+        (1.0 / 256, 96),
     )
 
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).

@@ -48,7 +48,11 @@ def fxaa(linear_image):
     h, w = img.shape[:2]
 
     def shift(dy, dx):
-        return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+        # clamp-to-edge neighbour fetch, matching the GLSL sampler's edge clamp
+        # (a roll would wrap opposite-edge luma into border pixels)
+        ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+        xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+        return img[ys[:, None], xs[None, :]]
 
     # X-pattern: the GLSL offsets are +-1 texel diagonals
     c_m = img

@@ -170,8 +170,9 @@ def _sample_anisotropic(
 
 def _ewa_weight(r2):
     """Quantized gaussian falloff, identical to the reference's 128-entry table
-    (Texture.h:53-62)."""
-    idx = jnp.minimum(jnp.floor(r2 * _EWA_TABLE_SIZE), _EWA_TABLE_SIZE - 1)
+    (Texture.h:53-62); the index rounds to nearest (Util::float_to_int,
+    Texture.cpp:327)."""
+    idx = jnp.minimum(jnp.floor(r2 * _EWA_TABLE_SIZE + 0.5), _EWA_TABLE_SIZE - 1)
     r2q = idx / (_EWA_TABLE_SIZE - 1)
     return jnp.exp(-_EWA_ALPHA * r2q) - jnp.exp(-_EWA_ALPHA)
 
