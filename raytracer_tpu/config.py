@@ -143,6 +143,23 @@ class RenderConfig:
         (1.0 / 256, 96),
     )
 
+    # Tensor-parallel scene sharding (SURVEY.md 2.3 "tensor/model parallel" row):
+    # when set to a mesh axis name (e.g. "sp"), the renderer is being called inside
+    # a shard_map where each device along that axis holds a DIFFERENT sub-scene
+    # (parallel/scene_shard.py); closest-hit records are min-t combined and any-hit
+    # masks OR-combined across the axis after each local traversal.  None (default)
+    # = scene replicated, no collectives in the forward pass.
+    scene_shard_axis: object = None
+
+    # Shadow-ray origin offset along the surface normal, in world units.  0.0 keeps
+    # the reference's exact scheme (origin ON the surface, RAY_EPSILON as t_min,
+    # Ray.h:5), which leaves ~9% of Sponza shadow rays within f32 rounding of a
+    # hit/miss decision across differently-shaped compiled programs (PERF.md).
+    # A small positive value (~RAY_EPSILON) moves origins off the marginal
+    # surfaces; contributing lanes are front-facing by construction (the
+    # contribution cull), so +normal is always the shadow-ray side.
+    shadow_normal_offset: float = 0.0
+
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
     # Capacity of each secondary-ray generation as a fraction of the primary count.
     # A surface can spawn both a reflection and a refraction ray (Raytracer.cpp:249-316),

@@ -43,7 +43,12 @@ def measure(scene, cfg: RenderConfig, device_counts=(1, 2, 4, 8), iters: int = 3
         if n == 1:
             dt, (img, stats) = timed(single, scene)
         else:
-            mesh = make_mesh((n, 1), ("dp", "sp"))
+            # mesh over the FIRST n devices (subset scaling curve)
+            from jax.sharding import Mesh
+
+            mesh = Mesh(
+                np.array(jax.devices()[:n]).reshape(n, 1), ("dp", "sp")
+            )
             run = make_sharded_renderer(cfg, mesh)
             dt, (img, stats) = timed(run, scene)
         total = sum(

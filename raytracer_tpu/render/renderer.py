@@ -249,7 +249,34 @@ def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig):
         hits = _mesh_hits_into(scene, rays, res, hits)
         incomplete = res.incomplete
     # lanes outside the wavefront are misses
-    return hits._replace(hit=hits.hit & active), incomplete
+    hits = hits._replace(hit=hits.hit & active)
+    if cfg.scene_shard_axis is not None:
+        hits, incomplete = _combine_hits_over_shards(
+            hits, incomplete, cfg.scene_shard_axis
+        )
+    return hits, incomplete
+
+
+def _combine_hits_over_shards(hits, incomplete, axis):
+    """Min-t reduce reconstructed hit records across scene shards.
+
+    The tensor-parallel mode (parallel/scene_shard.py) gives each device along
+    `axis` a spatial subset of the triangle geometry; every shard traverses the
+    full wavefront against its sub-scene and reconstructs hit attributes locally
+    (only the owner of the winning triangle can gather its attributes), then the
+    per-ray winner is selected by minimum hit distance.  Misses carry t=inf
+    (make_miss_hits), so any real hit beats them; an all-miss ray deterministically
+    keeps shard 0's miss record.  Analytic primitives are replicated, so ties
+    between shards are bit-identical records and the argmin tie-break is benign."""
+    t_all = jax.lax.all_gather(hits.t, axis)  # [S,N]
+    k = jnp.argmin(t_all, axis=0)  # [N]
+
+    def pick(f):
+        g = jax.lax.all_gather(f, axis)  # [S,N,...]
+        idx = k.reshape((1,) + k.shape + (1,) * (g.ndim - 1 - k.ndim))
+        return jnp.take_along_axis(g, idx.astype(jnp.int32), axis=0)[0]
+
+    return jax.tree_util.tree_map(pick, hits), jax.lax.psum(incomplete, axis)
 
 
 def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
@@ -270,6 +297,9 @@ def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
                 bvh, origin, direction, max_distance, active & ~blocked, cfg
             )
         )
+    if cfg.scene_shard_axis is not None:
+        # a lane is shadowed if ANY scene shard's sub-geometry blocks it
+        blocked = jax.lax.psum(blocked.astype(jnp.int32), cfg.scene_shard_axis) > 0
     return blocked & active
 
 
@@ -397,7 +427,12 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
                     scene.dl_neg_dir[i],
                 )
             )
-        origin_all = jnp.tile(hits.point, (n_lights, 1))
+        shadow_origin = hits.point
+        if cfg.shadow_normal_offset:
+            # off-surface origins de-marginalize the any-hit decision (PERF.md);
+            # front-facing cull guarantees +normal is the light side
+            shadow_origin = shadow_origin + cfg.shadow_normal_offset * hits.normal
+        origin_all = jnp.tile(shadow_origin, (n_lights, 1))
         contrib_mask = jnp.stack(
             [vm.length_squared(c) > 0.0 for c in contribs], axis=0
         )  # [L,N]

@@ -165,6 +165,7 @@ class SceneDescription:
         self.instances: list[MeshInstance] = []
         self.blas_registry: dict = {}
         self.blas_material_offsets: dict = {}
+        self.mesh_sources: dict = {}  # key -> MeshData (optional; scene sharding)
         self.point_lights: list[PointLight] = []
         self.spot_lights: list[SpotLight] = []
         self.directional_lights: list[DirectionalLight] = []

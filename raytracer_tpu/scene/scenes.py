@@ -48,6 +48,9 @@ def _load_mesh(name: str, fallback):
 
 def _register_mesh(desc, key, mesh, accelerator=MeshAccelerator.SBVH):
     desc.register_blas(key, build_blas(mesh, accelerator))
+    # retain the source soup so tensor-parallel mode can re-split it spatially
+    # (parallel/scene_shard.py); harmless otherwise
+    desc.mesh_sources[key] = mesh
 
 
 def _default_sky(desc, size=256):
@@ -232,6 +235,13 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     cfg = RenderConfig(
         width=width, height=height, num_bounces=3, queue_factor=(0.25, 0.1, 0.05),
         mesh_accelerator=accelerator,
+        # shadow ladder tuned to THIS scene's measured post-cull aliveness
+        # (scratch/aliveness.py @960x540: active0 39.5%, 16% alive @8 wide
+        # iterations, 0.87% @16, ~0 @32): round 0 compacts the wavefront to the
+        # contribution-culled lanes BEFORE any iteration (renderer.py culls
+        # back-facing / out-of-cone / zero-albedo lanes -> 39% stay active).
+        # Effective cost ~6.5 full-wavefront iterations vs 12.2 default.
+        wide_rounds_any=((0.5, 8), (0.2, 8), (1.0 / 32, 16), (1.0 / 256, 96)),
     )
     return desc, cfg
 

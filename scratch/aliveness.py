@@ -69,7 +69,24 @@ def main():
     o3 = jnp.tile(hits.point, (3, 1))
     d3 = jnp.concatenate([neg, to_pl / dpl, to_sl / dsl], axis=0)
     tm = jnp.concatenate([inf, dpl[:, 0], dsl[:, 0]])
-    a3 = jnp.tile(hits.hit, 3)
+    # apply the renderer's contribution cull (renderer.py: front-facing +
+    # spot cone -> zero Blinn-Phong makes the shadow result irrelevant)
+    from raytracer_tpu.core import vecmath as vm
+    from raytracer_tpu.render import shading
+    to_cam = vm.normalize(jnp.asarray(scene.cam_pos)[None, :] - hits.point, eps=1e-20)
+    c_dir = shading.directional_light(
+        hits.normal, to_cam, jnp.asarray(scene.dl_colour)[0][None, :],
+        jnp.asarray(scene.dl_neg_dir)[0])
+    c_pl = shading.point_light(
+        hits.normal, to_pl / dpl, to_cam, jnp.asarray(scene.pl_colour)[0][None, :],
+        (dpl[:, 0]) ** 2)
+    c_sl = shading.spot_light(
+        hits.normal, to_sl / dsl, to_cam, jnp.asarray(scene.sl_colour)[0][None, :],
+        (dsl[:, 0]) ** 2, jnp.asarray(scene.sl_neg_dir)[0][None, :],
+        jnp.asarray(scene.sl_inner)[0], jnp.asarray(scene.sl_outer)[0])
+    contrib = jnp.concatenate(
+        [vm.length_squared(c) > 0 for c in (c_dir, c_pl, c_sl)])
+    a3 = jnp.tile(hits.hit, 3) & contrib
     t0 = time.time()
     c = np.asarray(jax.jit(lambda b: curve(b, o3, d3, tm, a3, cfg, True, iters))(bvh))
     print(f"shadow any-hit ({time.time()-t0:.0f}s): n={3*n} active0={float(a3.mean()):.3f}")
