@@ -192,3 +192,74 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, axes=None, optimizer=None,
         return params, optimizer.init(params)
 
     return init, step
+
+
+def make_tensor_parallel_train_step(cfg: RenderConfig, mesh, dp_axis="dp",
+                                    sp_axis="sp", optimizer=None,
+                                    fields=DIFFERENTIABLE_FIELDS):
+    """Fwd+bwd step with pixels sharded over `dp_axis` AND triangle geometry
+    sharded over `sp_axis` (parallel/scene_shard.py).
+
+    Scene parameters (materials/lights/camera/textures/sky) are replicated —
+    they are identical across scene shards by construction (split_description
+    shares the material buffer).  Every sp member computes the loss over its
+    dp-shard of pixels redundantly (shading is post-combine), and BOTH gradient
+    paths — the shading path on each member and the hit-reconstruction path
+    flowing back through the all_gather to the winning shard — appear once in
+    every member's loss, so `pmean` over sp (+ psum over dp) is exactly the
+    single-device gradient.
+    """
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import strided_pixel_permutation
+
+    optimizer = optimizer or optax.adam(1e-2)
+    dp = mesh.shape[dp_axis]
+    perm = strided_pixel_permutation(cfg.num_pixels, dp)
+    perm_dev = jax.device_put(
+        jnp.asarray(perm), NamedSharding(mesh, P(dp_axis))
+    )
+    cfg_sp = cfg.replace(scene_shard_axis=sp_axis)
+
+    def _local_loss_and_grad(params, scene_stack, target_flat, pixel_idx):
+        scene = jax.tree_util.tree_map(lambda x: x[0], scene_stack)
+
+        def local_loss(p):
+            rgb, _ = renderer.render_pixels(
+                apply_params(scene, p), cfg_sp, pixel_idx
+            )
+            tgt = jnp.take(target_flat, pixel_idx, axis=0)
+            return jnp.sum((rgb - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.pmean(jax.lax.psum(loss, dp_axis), sp_axis)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(jax.lax.psum(g, dp_axis), sp_axis), grads
+        )
+        scale = 1.0 / (cfg.num_pixels * 3)
+        return loss * scale, jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+    shard_fn = jax.shard_map(
+        _local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(P(), P(sp_axis), P(), P(dp_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, scene_stack, target):
+        target_flat = target.reshape(-1, 3)
+        loss, grads = shard_fn(params, scene_stack, target_flat, perm_dev)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(scene_stack):
+        params = {
+            f: getattr(scene_stack, f)[0] for f in fields
+        }
+        return params, optimizer.init(params)
+
+    return init, step
