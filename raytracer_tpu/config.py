@@ -109,8 +109,10 @@ class RenderConfig:
         (1.0 / 32, 256),
         (1.0 / 256, 2048),
     )
-    # unroll factor of the inner fori_loop (amortizes loop overhead)
-    traversal_unroll: int = 1
+    # unroll factor of the inner fori_loop (amortizes loop overhead; measured
+    # scratch/bench_stack_cost.py on Sponza-class closest: unroll=2 is -8%
+    # ns/ray, unroll=4 regresses — the sweet spot is 2)
+    traversal_unroll: int = 2
 
     # Traversal kernel: "wide" = 8-wide BVH, one 8-child-AABB gather per node visit
     # + one 8-triangle record per leaf (ops/traversal_wide.py — the fast path on

@@ -384,4 +384,5 @@ def trace_any(bvh: SceneBVH, o, d, t_max, active, cfg: RenderConfig):
     (BottomLevelBVH.cpp:398-437)."""
     state = _init_state(t_max, active, any_hit=True, track_steps=False)
     state = _run_rounds(bvh, state, o, d, t_max, cfg, any_hit=True)
-    return state["found"]
+    incomplete = jnp.sum(_alive(state, True).astype(jnp.int32))
+    return state["found"], incomplete

@@ -421,9 +421,18 @@ def trace_closest(
 
 def trace_any(bvh: WideSceneBVH, o, d, t_max, active, cfg: RenderConfig):
     """Any-hit (shadow) traversal; found rays retire immediately
-    (BottomLevelBVH.cpp:398-437)."""
+    (BottomLevelBVH.cpp:398-437).
+
+    Returns (found [N] bool, incomplete [] i32).  `incomplete` counts lanes the
+    ladder failed to finish (still alive after every round, or stack overflow) —
+    nonzero means shadow decisions may be missing occlusions (light leaks): the
+    scene-tuned compacted ladders (e.g. config3's round-0 capacity < 1.0) assume
+    the contribution-culled wavefront, and this counter is what catches a frame
+    where that assumption breaks (goldens and bench assert it is 0)."""
     o, d, t_max, active, n = _pad_inputs(o, d, t_max, active)
     state = _init_state(t_max, active, bvh.root, any_hit=True, track_steps=False)
     stack = jnp.zeros((o.shape[0], cfg.wide_stack_size), jnp.int32)
     state = _run_rounds(bvh, state, stack, o, d, t_max, cfg, any_hit=True)
-    return state["found"][:n]
+    incomplete = jnp.sum((_alive(state, True) | (state["ovf"] & ~state["found"]))
+                         .astype(jnp.int32))
+    return state["found"][:n], incomplete

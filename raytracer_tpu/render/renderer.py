@@ -280,9 +280,14 @@ def _combine_hits_over_shards(hits, incomplete, axis):
 
 
 def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
-    """Any-hit chain with early-outs (Scene.cpp:179-190). Returns blocked mask."""
+    """Any-hit chain with early-outs (Scene.cpp:179-190).
+
+    Returns (blocked mask, incomplete count): `incomplete` counts shadow lanes
+    the traversal ladder failed to finish — nonzero means possible light leaks
+    (see traversal_wide.trace_any)."""
     rays = intersect.make_rays(origin, direction)
     blocked = jnp.zeros((origin.shape[0],), bool)
+    incomplete = jnp.int32(0)
     for i in range(scene.n_spheres):
         blocked = blocked | intersect.sphere_intersect(
             rays, max_distance, scene.sph_center[i], scene.sph_radius[i]
@@ -292,15 +297,16 @@ def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
             rays, max_distance, scene.pln_normal[i], scene.pln_distance[i]
         )
     if bvh is not None:
-        blocked = blocked | jax.lax.stop_gradient(
-            _traversal_module(cfg).trace_any(
-                bvh, origin, direction, max_distance, active & ~blocked, cfg
-            )
+        found, incomplete = _traversal_module(cfg).trace_any(
+            bvh, origin, direction, max_distance, active & ~blocked, cfg
         )
+        blocked = blocked | jax.lax.stop_gradient(found)
+        incomplete = jax.lax.stop_gradient(incomplete)
     if cfg.scene_shard_axis is not None:
         # a lane is shadowed if ANY scene shard's sub-geometry blocks it
         blocked = jax.lax.psum(blocked.astype(jnp.int32), cfg.scene_shard_axis) > 0
-    return blocked & active
+        incomplete = jax.lax.psum(incomplete, cfg.scene_shard_axis)
+    return blocked & active, incomplete
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +442,7 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
         contrib_mask = jnp.stack(
             [vm.length_squared(c) > 0.0 for c in contribs], axis=0
         )  # [L,N]
-        blocked = intersect_scene(
+        blocked, shadow_incomplete = intersect_scene(
             scene,
             bvh,
             origin_all,
@@ -444,7 +450,11 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
             jnp.concatenate(dists, axis=0),
             jnp.tile(shadow_active, n_lights) & contrib_mask.reshape(-1),
             cfg,
-        ).reshape(n_lights, n)
+        )
+        blocked = blocked.reshape(n_lights, n)
+        stats = stats._replace(
+            num_incomplete=stats.num_incomplete + shadow_incomplete
+        )
         for li in range(n_lights):
             light_acc = light_acc + jnp.where(
                 (shadow_active & ~blocked[li])[:, None], contribs[li], 0.0

@@ -48,7 +48,7 @@ ladders = {
 found = {}
 for name, rounds in ladders.items():
     c = dataclasses.replace(cfg, wide_rounds_any=rounds)
-    f = jax.jit(lambda b, cc=c: tw.trace_any(b, o3, d3, tm, a3, cc))(bvh)
+    f = jax.jit(lambda b, cc=c: tw.trace_any(b, o3, d3, tm, a3, cc)[0])(bvh)
     found[name] = np.asarray(f)
     print(f"{name:11s}: found={int(found[name].sum())}")
 for name in ("new", "old"):

@@ -18,6 +18,12 @@ from raytracer_tpu.scene import scenes
 from raytracer_tpu.scene.device import ScenePacker
 import raytracer_tpu.ops.intersect as intersect
 
+def _ta(*a, **k):
+    """trace_any returning just the mask (API now returns (found, incomplete))."""
+    import raytracer_tpu.ops.traversal_wide as _twm
+    return _twm.trace_any(*a, **k)[0]
+
+
 w, h = 960, 540
 desc, cfg = scenes.config3_sponza(w, h)
 scene = ScenePacker(desc, w, h).frame()
@@ -45,7 +51,7 @@ found = {}
 for name, rounds in ladders:
     c = dataclasses.replace(cfg, wide_rounds_any=rounds)
     f = jax.jit(
-        lambda b, cc=c: tw.trace_any(
+        lambda b, cc=c: _ta(
             b, jnp.asarray(o1), jnp.asarray(d1), jnp.asarray(t1), jnp.asarray(a1), cc
         )
     )(bvh)

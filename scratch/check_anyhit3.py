@@ -23,6 +23,12 @@ from raytracer_tpu.scene import scenes
 from raytracer_tpu.scene.device import ScenePacker
 import raytracer_tpu.ops.intersect as intersect
 
+def _ta(*a, **k):
+    """trace_any returning just the mask (API now returns (found, incomplete))."""
+    import raytracer_tpu.ops.traversal_wide as _twm
+    return _twm.trace_any(*a, **k)[0]
+
+
 desc, cfg = scenes.config3_sponza(960, 540)
 scene = ScenePacker(desc, 960, 540).frame()
 n = cfg.num_pixels
@@ -42,7 +48,7 @@ t = np.full((n,), np.inf, np.float32)
 
 c = dataclasses.replace(cfg, wide_rounds_any=((1.0, 256),))
 
-f1 = np.asarray(jax.jit(lambda b: tw.trace_any(
+f1 = np.asarray(jax.jit(lambda b: _ta(
     b, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(a), c))(bvh))
 
 pad = 128
@@ -50,7 +56,7 @@ op = np.concatenate([o, np.zeros((pad, 3), np.float32)])
 dp = np.concatenate([d, np.ones((pad, 3), np.float32)])
 tp = np.concatenate([t, np.zeros((pad,), np.float32)])
 ap = np.concatenate([a, np.zeros((pad,), bool)])
-f2 = np.asarray(jax.jit(lambda b: tw.trace_any(
+f2 = np.asarray(jax.jit(lambda b: _ta(
     b, jnp.asarray(op), jnp.asarray(dp), jnp.asarray(tp), jnp.asarray(ap), c))(bvh))[:n]
 print(f"exhaustive padded-vs-not flips: {int((f1 != f2).sum())} of {n}", flush=True)
 
@@ -59,7 +65,7 @@ cpu = jax.devices("cpu")[0]
 with jax.default_device(cpu):
     fc = []
     chunk = 1 << 16
-    fn = jax.jit(lambda b, oo, dd, tt, aa: tw.trace_any(b, oo, dd, tt, aa, c))
+    fn = jax.jit(lambda b, oo, dd, tt, aa: _ta(b, oo, dd, tt, aa, c))
     bvh_c = jax.device_put(bvh, cpu)
     for i in range(0, n, chunk):
         fc.append(np.asarray(fn(

@@ -22,6 +22,12 @@ from raytracer_tpu.render import renderer
 from raytracer_tpu.scene import scenes
 from raytracer_tpu.scene.device import ScenePacker
 
+def _ta(*a, **k):
+    """trace_any returning just the mask (API now returns (found, incomplete))."""
+    import raytracer_tpu.ops.traversal_wide as _twm
+    return _twm.trace_any(*a, **k)[0]
+
+
 
 def bench(name, fn, *args, reps=3):
     t0 = time.perf_counter()
@@ -105,7 +111,7 @@ def main():
     if "shadow" in stages:
         def shadow(bvh, hits):
             neg = jnp.broadcast_to(jnp.asarray(scene.dl_neg_dir)[0], (n, 3))
-            return mod.trace_any(bvh, hits.point, neg,
+            return _ta(bvh, hits.point, neg,
                                  jnp.full((n,), jnp.inf, jnp.float32), hits.hit, cfg)
         bench("trace_any (1 light, N)", jax.jit(shadow), bvh, hits)
 
@@ -119,7 +125,7 @@ def main():
             o3 = jnp.tile(hits.point, (3, 1))
             d3 = jnp.concatenate([neg, to_pl / dpl, to_sl / dsl], axis=0)
             tm = jnp.concatenate([jnp.full((n,), jnp.inf), dpl[:, 0], dsl[:, 0]])
-            return mod.trace_any(bvh, o3, d3, tm, jnp.tile(hits.hit, 3), cfg)
+            return _ta(bvh, o3, d3, tm, jnp.tile(hits.hit, 3), cfg)
         bench("trace_any (3 lights, 3N)", jax.jit(shadow3), bvh, hits)
 
     if "compact" in stages:

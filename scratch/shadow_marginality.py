@@ -1,17 +1,25 @@
-"""Quantify shadow-ray marginality (VERDICT #9): how much do the ~9% any-hit
-decision flips between differently-shaped compiled programs move final pixel
-values, and does a normal-offset shadow origin (config.shadow_normal_offset)
-de-marginalize them?
+"""Quantify shadow-ray marginality (VERDICT #9) with the established
+padded-vs-unpadded methodology (scratch/check_anyhit3.py): the SAME culled
+shadow wavefront traced by two differently-shaped compiled programs (+128 dummy
+rays changes XLA's fusion/contraction choices); per-lane evolution is identical
+in exact arithmetic, so any decision flips are f32 marginality of on-surface
+origins.  Measures:
 
-Two program shapes: the scene-tuned compacted ladder vs one exhaustive
-(1.0, 64) round — internally each is deterministic; differences are pure
-f32-marginality (PERF.md 'Shadow-ray determinism note').
+  1. flip rate with on-surface origins (reference semantics, Ray.h:5);
+  2. flip rate with normal-offset origins (cfg.shadow_normal_offset);
+  3. the radiance-weighted image impact of the flips: what fraction of the
+     direct-lighting energy sits on flipped lanes (the upper bound of the
+     cross-program image error these flips can cause, e.g. CPU vs TPU parity);
+  4. the image bias the offset itself introduces under ONE program shape.
+
+Note (measured earlier, kept for the record): ladder-vs-exhaustive comparisons
+show ZERO flips — per-lane traversal is compaction/round-structure-invariant, so
+the straggler ladder is not a source of nondeterminism.
 
 Usage: python scratch/shadow_marginality.py [width height]
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".cache/jax")
@@ -22,10 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracer_tpu.config import RAY_EPSILON
+from raytracer_tpu.core import vecmath as vm
 from raytracer_tpu.ops import traversal_wide as tw
-from raytracer_tpu.render import renderer
+from raytracer_tpu.render import renderer, shading
 from raytracer_tpu.scene import scenes
 from raytracer_tpu.scene.device import ScenePacker
+import raytracer_tpu.ops.intersect as intersect
 
 
 def main():
@@ -34,53 +44,81 @@ def main():
     desc, cfg = scenes.config3_sponza(w, h)
     scene = ScenePacker(desc, cfg.width, cfg.height).frame()
     n = cfg.num_pixels
-    cfg_exh = cfg.replace(wide_rounds_any=((1.0, 64),))
+    cfg_exh = cfg.replace(wide_rounds_any=((1.0, 256),))
 
-    # ---- mask-level flip rate on the real gen-0 shadow wavefront ----
     pix = jnp.arange(n, dtype=jnp.int32)
     rays = jax.jit(lambda s: renderer.primary_rays_for(s, cfg, pix))(scene)
     bvh = jax.jit(tw.build_scene_bvh)(scene)
     inf = jnp.full((n,), jnp.inf, jnp.float32)
     act = jnp.ones((n,), bool)
-    res = jax.jit(lambda b, r: tw.trace_closest(b, r.origin, r.direction, inf, act, cfg))(bvh, rays)
-    import raytracer_tpu.ops.intersect as intersect
+    res = jax.jit(lambda b, r: tw.trace_closest(
+        b, r.origin, r.direction, inf, act, cfg))(bvh, rays)
     hits = jax.jit(lambda s, r, x: renderer._mesh_hits_into(
         s, r, x, intersect.make_miss_hits(n)))(scene, rays, res)
 
+    # the renderer's real culled gen-0 shadow wavefront, all 3 lights
+    to_cam = vm.normalize(jnp.asarray(scene.cam_pos)[None, :] - hits.point,
+                          eps=1e-20)
     neg = jnp.broadcast_to(jnp.asarray(scene.dl_neg_dir)[0], (n, 3))
     to_pl = jnp.asarray(scene.pl_pos)[0][None, :] - hits.point
     dpl = jnp.linalg.norm(to_pl, axis=1, keepdims=True)
-    d3 = jnp.concatenate([neg, to_pl / dpl], axis=0)
-    tm = jnp.concatenate([inf, dpl[:, 0]])
-    a2 = jnp.tile(hits.hit, 2)
+    to_sl = jnp.asarray(scene.sl_pos)[0][None, :] - hits.point
+    dsl = jnp.linalg.norm(to_sl, axis=1, keepdims=True)
+    c_dir = shading.directional_light(
+        hits.normal, to_cam, jnp.asarray(scene.dl_colour)[0][None, :],
+        jnp.asarray(scene.dl_neg_dir)[0])
+    c_pl = shading.point_light(hits.normal, to_pl / dpl, to_cam,
+                               jnp.asarray(scene.pl_colour)[0][None, :],
+                               dpl[:, 0] ** 2)
+    c_sl = shading.spot_light(hits.normal, to_sl / dsl, to_cam,
+                              jnp.asarray(scene.sl_colour)[0][None, :],
+                              dsl[:, 0] ** 2,
+                              jnp.asarray(scene.sl_neg_dir)[0][None, :],
+                              jnp.asarray(scene.sl_inner)[0],
+                              jnp.asarray(scene.sl_outer)[0])
+    contrib = jnp.concatenate([c_dir, c_pl, c_sl], axis=0)  # [3N,3]
+    cmask = vm.length_squared(contrib) > 0
+    d3 = np.asarray(jnp.concatenate([neg, to_pl / dpl, to_sl / dsl], axis=0))
+    tm = np.asarray(jnp.concatenate([inf, dpl[:, 0], dsl[:, 0]]))
+    a3 = np.asarray(jnp.tile(hits.hit, 3) & cmask)
+    contrib = np.asarray(contrib)
+    nrm3 = np.asarray(jnp.tile(hits.normal, (3, 1)))
+    pt3 = np.asarray(jnp.tile(hits.point, (3, 1)))
+    na = int(a3.sum())
 
-    for off, tag in ((0.0, "on-surface origins"),
-                     (RAY_EPSILON, f"normal-offset {RAY_EPSILON}")):
-        o3 = jnp.tile(hits.point + off * hits.normal, (2, 1))
-        f_lad = jax.jit(lambda b, o, d, t, a: tw.trace_any(b, o, d, t, a, cfg))
-        f_exh = jax.jit(lambda b, o, d, t, a: tw.trace_any(b, o, d, t, a, cfg_exh))
-        m1 = np.asarray(f_lad(bvh, o3, d3, tm, a2))
-        m2 = np.asarray(f_exh(bvh, o3, d3, tm, a2))
-        na = int(np.asarray(a2).sum())
-        flips = int((m1 != m2)[np.asarray(a2)].sum())
-        print(f"{tag}: flip rate {flips}/{na} = {flips/na:.4%}", flush=True)
+    def flips(o):
+        f = jax.jit(lambda b, o_, d_, t_, a_: tw.trace_any(
+            b, o_, d_, t_, a_, cfg_exh))
+        m1 = np.asarray(f(bvh, jnp.asarray(o), jnp.asarray(d3),
+                          jnp.asarray(tm), jnp.asarray(a3))[0])
+        pad = 128
+        op = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+        dp_ = np.concatenate([d3, np.ones((pad, 3), np.float32)])
+        tp = np.concatenate([tm, np.zeros((pad,), np.float32)])
+        ap = np.concatenate([a3, np.zeros((pad,), bool)])
+        m2 = np.asarray(f(bvh, jnp.asarray(op), jnp.asarray(dp_),
+                          jnp.asarray(tp), jnp.asarray(ap))[0])[:len(a3)]
+        fl = (m1 != m2) & a3
+        # radiance-weighted: energy of flipped lanes vs all potentially-lit lanes
+        e_fl = float(np.abs(contrib[fl]).sum())
+        e_all = float(np.abs(contrib[a3]).sum())
+        return int(fl.sum()), e_fl / e_all
 
-    # ---- image-level impact ----
-    for off, tag in ((0.0, "on-surface"), (RAY_EPSILON, "offset")):
-        ca, cb = (c.replace(shadow_normal_offset=off) for c in (cfg, cfg_exh))
-        img_a = np.asarray(jax.jit(lambda s: renderer.render_with_stats(s, ca))(scene)[0])
-        img_b = np.asarray(jax.jit(lambda s: renderer.render_with_stats(s, cb))(scene)[0])
-        d = np.abs(img_a - img_b)
-        print(f"{tag}: image |delta| mean {d.mean():.3e} max {d.max():.3e} "
-              f"frac>1e-3 {(d > 1e-3).mean():.4%}", flush=True)
-    # cross-check: offset-vs-onsurface bias under ONE program shape
+    k0, e0 = flips(pt3.astype(np.float32))
+    print(f"on-surface: flips {k0}/{na} = {k0/na:.4%}, "
+          f"radiance-weighted impact {e0:.4%}", flush=True)
+    ko, eo = flips((pt3 + RAY_EPSILON * nrm3).astype(np.float32))
+    print(f"offset {RAY_EPSILON}: flips {ko}/{na} = {ko/na:.4%}, "
+          f"radiance-weighted impact {eo:.4%}", flush=True)
+
+    # bias the offset itself introduces (one program shape, full render)
     img_0 = np.asarray(jax.jit(
         lambda s: renderer.render_with_stats(s, cfg))(scene)[0])
     img_o = np.asarray(jax.jit(lambda s: renderer.render_with_stats(
         s, cfg.replace(shadow_normal_offset=RAY_EPSILON)))(scene)[0])
     d = np.abs(img_0 - img_o)
     print(f"offset bias vs on-surface (same program): mean {d.mean():.3e} "
-          f"max {d.max():.3e}")
+          f"max {d.max():.3e} frac>1e-3 {(d > 1e-3).mean():.4%}")
 
 
 if __name__ == "__main__":

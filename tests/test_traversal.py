@@ -136,7 +136,8 @@ def test_any_hit_matches_closest_hit_mask():
     t_max = jnp.full((n,), jnp.inf, jnp.float32)
     active = jnp.ones((n,), bool)
     res = traversal.trace_closest(bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg)
-    blocked = traversal.trace_any(bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg)
+    blocked, inc = traversal.trace_any(bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg)
+    assert int(inc) == 0
     np.testing.assert_array_equal(np.asarray(blocked), np.asarray(res.tri) >= 0)
 
 

@@ -183,9 +183,10 @@ def test_wide_any_hit_matches_closest_hit_mask():
     res = traversal_wide.trace_closest(
         bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg
     )
-    blocked = traversal_wide.trace_any(
+    blocked, inc = traversal_wide.trace_any(
         bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg
     )
+    assert int(inc) == 0
     np.testing.assert_array_equal(np.asarray(blocked), np.asarray(res.tri) >= 0)
 
 
@@ -211,3 +212,27 @@ def test_wide_shallow_stack_reports_incomplete_not_wrong():
     cfg = RenderConfig(wide_stack_size=1)
     res = _trace_wide(scene, o, d, cfg)
     assert int(res.incomplete) > 0
+
+
+def test_wide_any_hit_starvation_is_counted():
+    """A compacted ladder whose round-0 capacity is below the active fraction
+    must REPORT the starved lanes as incomplete, not silently leak light
+    (PERF.md round-2 guard)."""
+    scene = _scene_with([(meshgen.icosphere(1.0, 2), (0.0, 0.0, 0.0))])
+    o, d = _random_rays(512, 7)
+    bvh = traversal_wide.build_scene_bvh(scene)
+    n = o.shape[0]
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    active = jnp.ones((n,), bool)
+    # capacity 1/4 of the wavefront, 1 iteration: most lanes can't finish
+    cfg = RenderConfig(wide_rounds_any=((0.25, 1),))
+    _, inc = traversal_wide.trace_any(
+        bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg
+    )
+    assert int(inc) > 0
+    # generous ladder on the same wavefront finishes everything
+    cfg_ok = RenderConfig(wide_rounds_any=((1.0, 256),))
+    _, inc_ok = traversal_wide.trace_any(
+        bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg_ok
+    )
+    assert int(inc_ok) == 0
