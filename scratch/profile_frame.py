@@ -116,17 +116,36 @@ def main():
         bench("trace_any (1 light, N)", jax.jit(shadow), bvh, hits)
 
         def shadow3(bvh, hits):
-            # the renderer's batched 3-light shadow wavefront (3N lanes)
+            # the renderer's batched 3-light shadow wavefront (3N lanes) WITH the
+            # contribution cull the renderer applies (front-facing/cone) — the
+            # scene-tuned compacted ladder (config3) assumes the culled wavefront
+            from raytracer_tpu.core import vecmath as vm
+            from raytracer_tpu.render import shading
+            to_cam = vm.normalize(
+                jnp.asarray(scene.cam_pos)[None, :] - hits.point, eps=1e-20)
             neg = jnp.broadcast_to(jnp.asarray(scene.dl_neg_dir)[0], (n, 3))
             to_pl = jnp.asarray(scene.pl_pos)[0][None, :] - hits.point
             dpl = jnp.linalg.norm(to_pl, axis=1, keepdims=True)
             to_sl = jnp.asarray(scene.sl_pos)[0][None, :] - hits.point
             dsl = jnp.linalg.norm(to_sl, axis=1, keepdims=True)
+            c_dir = shading.directional_light(
+                hits.normal, to_cam, jnp.asarray(scene.dl_colour)[0][None, :],
+                jnp.asarray(scene.dl_neg_dir)[0])
+            c_pl = shading.point_light(
+                hits.normal, to_pl / dpl, to_cam,
+                jnp.asarray(scene.pl_colour)[0][None, :], dpl[:, 0] ** 2)
+            c_sl = shading.spot_light(
+                hits.normal, to_sl / dsl, to_cam,
+                jnp.asarray(scene.sl_colour)[0][None, :], dsl[:, 0] ** 2,
+                jnp.asarray(scene.sl_neg_dir)[0][None, :],
+                jnp.asarray(scene.sl_inner)[0], jnp.asarray(scene.sl_outer)[0])
+            contrib = jnp.concatenate(
+                [vm.length_squared(c) > 0 for c in (c_dir, c_pl, c_sl)])
             o3 = jnp.tile(hits.point, (3, 1))
             d3 = jnp.concatenate([neg, to_pl / dpl, to_sl / dsl], axis=0)
             tm = jnp.concatenate([jnp.full((n,), jnp.inf), dpl[:, 0], dsl[:, 0]])
-            return _ta(bvh, o3, d3, tm, jnp.tile(hits.hit, 3), cfg)
-        bench("trace_any (3 lights, 3N)", jax.jit(shadow3), bvh, hits)
+            return _ta(bvh, o3, d3, tm, jnp.tile(hits.hit, 3) & contrib, cfg)
+        bench("trace_any (3 lights, 3N, culled)", jax.jit(shadow3), bvh, hits)
 
     if "compact" in stages:
         flags = res.tri >= 0
