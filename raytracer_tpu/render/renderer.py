@@ -26,10 +26,12 @@ Faithfulness notes (vs Raytracer.cpp:204-396):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import AIR_IOR, RenderConfig
 from ..core import vecmath as vm
@@ -246,6 +248,10 @@ def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig):
                 bvh, rays.origin, rays.direction, hits.t, active, cfg
             )
         )
+        # Name the (zero-gradient) traversal outputs so the chunk checkpoint
+        # policy saves them: the bwd pass then rematerializes only shading /
+        # texturing, never the BVH walk (~65% of the frame, PERF.md).
+        res = checkpoint_name(res, "trace")
         hits = _mesh_hits_into(scene, rays, res, hits)
         incomplete = res.incomplete
     # lanes outside the wavefront are misses
@@ -300,8 +306,10 @@ def intersect_scene(scene, bvh, origin, direction, max_distance, active, cfg):
         found, incomplete = _traversal_module(cfg).trace_any(
             bvh, origin, direction, max_distance, active & ~blocked, cfg
         )
-        blocked = blocked | jax.lax.stop_gradient(found)
-        incomplete = jax.lax.stop_gradient(incomplete)
+        blocked = blocked | checkpoint_name(jax.lax.stop_gradient(found), "trace")
+        incomplete = checkpoint_name(
+            jax.lax.stop_gradient(incomplete), "trace"
+        )
     if cfg.scene_shard_axis is not None:
         # a lane is shadowed if ANY scene shard's sub-geometry blocks it
         blocked = jax.lax.psum(blocked.astype(jnp.int32), cfg.scene_shard_axis) > 0
@@ -674,7 +682,14 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
     )
     idx_chunks = idx.reshape(chunk, n_chunks).T  # [n_chunks, chunk], strided
 
-    @jax.checkpoint
+    # save-named policy: traversal outputs (discrete, stop_gradient'd — see
+    # trace_scene/intersect_scene) are kept as residuals; everything
+    # differentiable is rematerialized.  bwd therefore re-runs shading/texture
+    # math per chunk but never the BVH walk.
+    @functools.partial(
+        jax.checkpoint,
+        policy=jax.checkpoint_policies.save_only_these_names("trace"),
+    )
     def body(ic):
         return render_wavefront(scene, cfg, ic, bvh=bvh)
 

@@ -68,3 +68,37 @@ def test_checkpoint_roundtrip_with_train_state(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(opt_state),
                     jax.tree_util.tree_leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_accum_grads_match_injit_chunked():
+    """make_accum_grad_fn (host-driven microbatches, no jax.checkpoint) and the
+    in-jit chunked loss (lax.map + save-named-traversal checkpoint policy,
+    renderer.render_pixels) produce the same loss and gradients on a mesh scene —
+    cross-validates the checkpoint policy against an independent bwd path."""
+    from raytracer_tpu.scene import scenes
+
+    desc, cfg = scenes.config1_monkey()
+    cfg = cfg.replace(width=24, height=16, num_bounces=1, queue_factor=1.0,
+                      texture_sample_mode=TextureSampleMode.BILINEAR,
+                      traversal_chunk=128)  # 384 px -> 3 chunks
+    scene = pack_scene(desc, cfg.width, cfg.height)
+    fields = ("mat_diffuse", "pl_colour", "cam_pos", "ambient")
+    params = train.extract_params(scene, fields)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss_fn(p):
+        img, _ = renderer.render_with_stats(train.apply_params(scene, p), cfg)
+        return train.image_loss(img, target)
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+
+    accum = train.make_accum_grad_fn(cfg)
+    loss_a, grads_a, stats = accum(params, scene, target)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_j), rtol=1e-5)
+    for f in fields:
+        np.testing.assert_allclose(
+            np.asarray(grads_a[f]), np.asarray(grads_j[f]), rtol=2e-4, atol=1e-6,
+            err_msg=f,
+        )
+    assert int(stats.num_incomplete) == 0
