@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from ..accel.links import BLAS_EXIT, DONE
 from ..config import RenderConfig
-from . import intersect
+from . import compaction, intersect
 
 
 class SceneBVH(NamedTuple):
@@ -345,8 +345,7 @@ def _run_rounds(bvh, state, o_w, d_w, t_fixed, cfg, any_hit: bool):
             state = run(state, o_w, d_w, t_fixed, iters)
             continue
         alive = _alive(state, any_hit)
-        order = jnp.argsort(jnp.logical_not(alive))  # stable: alive first
-        sel = order[:m]
+        sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
         sub = {k: v[sel] for k, v in state.items()}
         sub = run(
             sub,

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..accel.wide import KIND_INTERNAL, KIND_LEAF, PAYLOAD_BITS
 from ..config import RAY_EPSILON, RenderConfig
-from . import intersect
+from . import compaction, intersect
 
 POP = -1  # take the next deferred entry off the stack
 EXIT = -2  # traversal finished
@@ -370,8 +370,7 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
             state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
             continue
         alive = _alive(state, any_hit)
-        order = jnp.argsort(jnp.logical_not(alive))  # stable: alive first
-        sel = order[:m]
+        sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
         sub = {k: v[sel] for k, v in state.items()}
         sub, sub_stack = run(
             sub,

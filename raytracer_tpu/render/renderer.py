@@ -35,7 +35,14 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..config import AIR_IOR, RenderConfig
 from ..core import vecmath as vm
-from ..ops import intersect, sky_sample, texture_sample, traversal, traversal_wide
+from ..ops import (
+    compaction,
+    intersect,
+    sky_sample,
+    texture_sample,
+    traversal,
+    traversal_wide,
+)
 from ..ops.intersect import Hits, Rays
 from . import shading
 
@@ -572,8 +579,9 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
 def _compact(cand: dict, capacity: int):
     """Stable-compact active child candidates into a fixed-capacity queue."""
     flags = cand["active"]
-    order = jnp.argsort(jnp.logical_not(flags))  # stable: actives first, in order
-    sel = order[:capacity]
+    # stable O(N) partition: actives first in order; overflow slots repeat one
+    # inactive lane (inert: weight only lands where sel["active"] is True)
+    sel = compaction.compact_indices(flags, capacity)
     out = {k: v[sel] for k, v in cand.items()}
     n_active = jnp.sum(flags.astype(jnp.int32))
     dropped = jnp.maximum(0, n_active - capacity)

@@ -236,3 +236,24 @@ def test_wide_any_hit_starvation_is_counted():
         bvh, jnp.asarray(o), jnp.asarray(d), t_max, active, cfg_ok
     )
     assert int(inc_ok) == 0
+
+
+def test_compact_indices_matches_argsort():
+    """O(N) cumsum-scatter compaction == stable argsort selection on the flagged
+    prefix; overflow slots point at an unflagged lane (inert by contract)."""
+    import numpy as np
+    from raytracer_tpu.ops import compaction
+
+    rng = np.random.default_rng(7)
+    for n, cap in [(257, 64), (1024, 1024), (100, 200), (512, 91)]:
+        flags = jnp.asarray(rng.uniform(size=n) < 0.3)
+        got = np.asarray(compaction.compact_indices(flags, cap))
+        ref = np.argsort(~np.asarray(flags), kind="stable")[:cap]
+        k = min(int(np.asarray(flags).sum()), cap)
+        np.testing.assert_array_equal(got[:k], ref[:k])  # flagged prefix, stable
+        assert not np.asarray(flags)[got[k:]].any()  # overflow slots unflagged
+    # all-flagged: every slot filled, no fallback used
+    flags = jnp.ones((128,), bool)
+    np.testing.assert_array_equal(
+        np.asarray(compaction.compact_indices(flags, 64)), np.arange(64)
+    )
