@@ -10,8 +10,12 @@ in two linear passes.
 Unfilled slots (capacity > number of flagged lanes) all point at ONE unflagged
 lane (``argmin(flags)`` = the first False, a cheap reduce).  Callers treat
 selected-but-unflagged lanes as inert, so a repeated inert index is as good as
-distinct ones; when every lane is flagged, the prefix sum fills every slot and
-the fallback is never used.
+distinct ones.  CAVEAT: when every lane is flagged AND capacity > n, no inert
+lane exists and the fallback (argmin of an all-True array = lane 0) DUPLICATES
+an active lane; callers that sum over selected lanes must additionally mask
+slots >= popcount(flags) inert (render/renderer._compact does).  For
+capacity <= n with all lanes flagged, the prefix sum fills every slot and the
+fallback is never used.
 """
 
 from __future__ import annotations

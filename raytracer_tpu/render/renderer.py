@@ -584,6 +584,14 @@ def _compact(cand: dict, capacity: int):
     sel = compaction.compact_indices(flags, capacity)
     out = {k: v[sel] for k, v in cand.items()}
     n_active = jnp.sum(flags.astype(jnp.int32))
+    # capacity > n_active slots hold compact_indices' fallback lane, which is
+    # only guaranteed inert when an unflagged lane exists; when EVERY candidate
+    # is active (possible on tiny frames where capacity > candidate count) the
+    # fallback duplicates an active lane — mask by slot so a duplicated ray can
+    # never double-count its radiance/gradient (ADVICE.md round 2)
+    out["active"] = out["active"] & (
+        jnp.arange(capacity, dtype=jnp.int32) < n_active
+    )
     dropped = jnp.maximum(0, n_active - capacity)
     return out, dropped
 

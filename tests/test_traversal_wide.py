@@ -257,3 +257,30 @@ def test_compact_indices_matches_argsort():
     np.testing.assert_array_equal(
         np.asarray(compaction.compact_indices(flags, 64)), np.arange(64)
     )
+    # all-flagged with capacity > n: no inert lane exists, so overflow slots
+    # DUPLICATE lane 0 (documented caveat); _compact masks them by slot index
+    got = np.asarray(compaction.compact_indices(flags, 200))
+    np.testing.assert_array_equal(got[:128], np.arange(128))
+    np.testing.assert_array_equal(got[128:], np.zeros(72, np.int32))
+
+
+def test_compact_all_active_overflow_never_double_counts():
+    """renderer._compact with every candidate active and capacity > candidate
+    count: the duplicated fallback lanes must come back inactive (ADVICE.md
+    round 2 — a duplicated ray would double-count radiance/gradients)."""
+    import numpy as np
+    from raytracer_tpu.render.renderer import _compact
+
+    n = 48
+    cand = dict(
+        active=jnp.ones((n,), bool),
+        weight=jnp.arange(n, dtype=jnp.float32)[:, None] * jnp.ones((1, 3)),
+        pixel=jnp.arange(n, dtype=jnp.int32),
+    )
+    out, dropped = _compact(cand, 64)
+    assert int(dropped) == 0
+    active = np.asarray(out["active"])
+    assert active[:n].all() and not active[n:].any()
+    # weighted radiance over active lanes matches the un-compacted sum exactly
+    w = np.asarray(out["weight"])[active].sum()
+    assert w == np.asarray(cand["weight"]).sum()
