@@ -266,9 +266,15 @@ def octant_records(
 ) -> np.ndarray:
     """Assemble the fused octant-major traversal records [8, W, 72] float32.
 
-    Layout per row: 8 x (min3 | max3) = 48 box floats, then 8 x f_a, 8 x f_b,
-    then 8 zero floats of padding — children permuted into that octant's visit
-    order so traversal takes set bits lowest-first.  ``internal_offset``/
+    Layout per row: 48 box floats stored COMPONENT-major — col c*8 + j holds
+    component c of child j, components ordered (min_x, min_y, min_z, max_x,
+    max_y, max_z) — then 8 x f_a, 8 x f_b, then 8 zero floats of padding.
+    Children are permuted into that octant's visit order so traversal takes set
+    bits lowest-first.  Component-major packing lets the traversal's gathered
+    [B,72,128] record be viewed as [B,6,8,128] with contiguous [B,8,128]
+    per-component slabs: the slab test vectorizes over the 8-child axis in ONE
+    set of VPU ops (8x fewer HLO ops than per-child slicing, which cut the
+    1080p program's compile time — PERF.md round 3).  ``internal_offset``/
     ``leaf_offset`` globalize LOCAL payloads (instance entries, f_b > 0, are
     already global and take no offset).
 
@@ -294,7 +300,8 @@ def octant_records(
         perm = wide.order[o].astype(np.int64)  # [W,8]
         bmin = wide.child_min[rows, perm]  # [W,8,3]
         bmax = wide.child_max[rows, perm]
-        rec[o, :, :48] = np.concatenate([bmin, bmax], axis=2).reshape(w, 48)
+        boxes = np.concatenate([bmin, bmax], axis=2)  # [W,8,6] child-major
+        rec[o, :, :48] = boxes.transpose(0, 2, 1).reshape(w, 48)  # comp-major
         rec[o, :, 48:56] = f_a[rows, perm].astype(np.float32)
         rec[o, :, 56:64] = wide.child_fb[rows, perm].astype(np.float32)
     return rec

@@ -170,6 +170,15 @@ class RenderConfig:
     # that are mostly diffuse shrink deep generations aggressively.
     queue_factor: object = 2.0
 
+    # Roll the secondary bounce generations into ONE lax.scan body (all secondary
+    # queues share the bounce-1 capacity) instead of Python-unrolling a separate
+    # pipeline per bounce.  The bounce pipeline (two traversal ladders + shading)
+    # is then traced/compiled once for ALL secondary generations, roughly halving
+    # the 1080p program's XLA compile time (PERF.md round 3).  Radiance is
+    # identical whenever no queue overflows (capacities can only grow vs. a
+    # decaying per-bounce queue_factor tuple, so drops can only decrease).
+    scan_bounces: bool = True
+
     # Post-processing (Config.h:20)
     enable_fxaa: bool = False
 

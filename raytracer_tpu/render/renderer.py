@@ -347,8 +347,16 @@ def _material_gather(scene, mid):
     )
 
 
-def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats):
-    """Trace + shade one generation; returns (fb, child candidates or None, stats)."""
+def _shade_generation(
+    scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats, spawn_mask=None
+):
+    """Trace + shade one generation; returns (fb, child candidates or None, stats).
+
+    ``spawn`` (Python bool) statically removes the child-candidate section.
+    ``spawn_mask`` (traced scalar bool, scan path) instead gates spawning
+    dynamically: the last scan iteration computes the candidate math but masks
+    every child inactive, keeping stats and queue contents identical to the
+    unrolled loop's spawn=False final bounce."""
     rays = gen.rays
     n = rays.count
     hits, incomplete = trace_scene(scene, bvh, rays, gen.active, cfg)
@@ -489,6 +497,9 @@ def _shade_generation(scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats)
     # ---- spawn reflection / refraction children (Raytracer.cpp:204-396) ----
     refl_flag = hit & (vm.length_squared(refl_c) > 0.0)
     refr_flag = hit & (vm.length_squared(trans_c) > 0.0)
+    if spawn_mask is not None:
+        refl_flag = refl_flag & spawn_mask
+        refr_flag = refr_flag & spawn_mask
 
     d = rays.direction
     nrm = hits.normal
@@ -637,16 +648,9 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
     qf = cfg.queue_factor
     factors = tuple(qf) if isinstance(qf, (tuple, list)) else (qf,)
     depth = 0 if cfg.visualize_heatmap else cfg.num_bounces
-    for bounce in range(depth + 1):
-        spawn = bounce < depth
-        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, spawn, cfg, stats)
-        if cand is None:
-            break
-        f = factors[min(bounce, len(factors) - 1)]
-        capacity = max(min(int(round(n * f)), 2 * gen.pixel.shape[0]), 64)
-        sel, dropped = _compact(cand, capacity)
-        stats = stats._replace(num_dropped=stats.num_dropped + dropped)
-        gen = _Generation(
+
+    def gen_from_sel(sel):
+        return _Generation(
             rays=Rays(
                 origin=sel["origin"],
                 direction=sel["direction"],
@@ -660,6 +664,42 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
             pixel=sel["pixel"],
             active=sel["active"],
         )
+
+    if cfg.scan_bounces and depth >= 2:
+        # ONE traced bounce body for every secondary generation: all secondary
+        # queues share the bounce-1 capacity (>= any decaying per-bounce factor,
+        # so drops can only decrease) and the pipeline rolls up as a lax.scan —
+        # the traversal ladders + shading compile once instead of once per
+        # bounce, roughly halving the 1080p program's compile time (PERF.md r3).
+        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, True, cfg, stats)
+        capacity = max(min(int(round(n * factors[0])), 2 * n), 64)
+        sel, dropped = _compact(cand, capacity)
+        stats = stats._replace(num_dropped=stats.num_dropped + dropped)
+        gen = gen_from_sel(sel)
+
+        def bounce_body(carry, is_last):
+            gen, fb, stats = carry
+            fb, cand, stats = _shade_generation(
+                scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last
+            )
+            sel, dropped = _compact(cand, capacity)
+            stats = stats._replace(num_dropped=stats.num_dropped + dropped)
+            return (gen_from_sel(sel), fb, stats), None
+
+        is_last = jnp.arange(1, depth + 1) == depth
+        (gen, fb, stats), _ = jax.lax.scan(bounce_body, (gen, fb, stats), is_last)
+        return fb, stats
+
+    for bounce in range(depth + 1):
+        spawn = bounce < depth
+        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, spawn, cfg, stats)
+        if cand is None:
+            break
+        f = factors[min(bounce, len(factors) - 1)]
+        capacity = max(min(int(round(n * f)), 2 * gen.pixel.shape[0]), 64)
+        sel, dropped = _compact(cand, capacity)
+        stats = stats._replace(num_dropped=stats.num_dropped + dropped)
+        gen = gen_from_sel(sel)
 
     return fb, stats
 
