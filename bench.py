@@ -1,39 +1,99 @@
 """Benchmark: Mrays/s/chip on the Sponza-class workload (BASELINE.json north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS, even
+under a driver timeout: a watchdog thread hard-emits the best result known so
+far when the wall-clock deadline (BENCH_DEADLINE_S, default 22 min) expires.
+The tunnel's TPU compiles happen server-side at first execution and are queued
+behind other tenants (measured 0.5 s .. 19 min for the SAME program — PERF.md
+round 3), so no local timeout can bound them; the deadline + the build-round
+prewarm of the server compile cache (tools/warm_bench.py) are the mitigation.
 
 Measures the fwd+bwd step (gradients of the image loss w.r.t. scene parameters)
-when it compiles within the time budget; otherwise falls back to forward-only and
-says so in the metric string.  The reference publishes no absolute numbers
-(BASELINE.md); vs_baseline is computed against a documented estimate of the
-reference on its default workload: a modest 8-core AVX2 CPU running Sponza
-900x600x(1+3 bounces) at ~30 fps traces roughly 40 MRays/s total
+as ONE jitted value_and_grad program with the rendered image + ray stats as aux
+(one server compile total).  Falls back to host-driven gradient accumulation,
+then to forward-only, if the primary program fails.  The reference publishes no
+absolute numbers (BASELINE.md); vs_baseline is computed against a documented
+estimate of the reference on its default workload: a modest 8-core AVX2 CPU
+running Sponza 900x600x(1+3 bounces) at ~30 fps traces roughly 40 MRays/s total
 (primary + shadow + secondary, Main.cpp:87-95 definitions).
 """
 
 import json
 import os
-import signal
 import sys
+import threading
 import time
 
-# persistent XLA compile cache: tunnel compiles are minutes-long; repeat bench
-# runs (the driver runs this every round) reuse them
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
-
+START = time.time()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "1320"))
 REFERENCE_MRAYS_ESTIMATE = 40.0
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_last.json")
+
+_best = {
+    "metric": "Mrays/s/chip unavailable (no program completed before deadline), "
+              "Sponza-class 1080p",
+    "value": 0.0,
+    "unit": "MRays/s",
+    "vs_baseline": 0.0,
+}
+_emit_lock = threading.Lock()
+_emitted = False
 
 
-class _Timeout(Exception):
-    pass
+def _set_best(mode, height, mrays):
+    global _best
+    _best = {
+        "metric": f"Mrays/s/chip {mode}, Sponza-class {height}p",
+        "value": round(mrays, 3),
+        "unit": "MRays/s",
+        "vs_baseline": round(mrays / REFERENCE_MRAYS_ESTIMATE, 4),
+    }
+    try:  # remember the measurement for the deadline fallback of a later run
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(_best, f)
+    except OSError:
+        pass
 
 
-def _alarm(_sig, _frm):
-    raise _Timeout()
+def _emit(code=0):
+    global _emitted
+    with _emit_lock:
+        if not _emitted:
+            _emitted = True
+            out = _best
+            if out["value"] == 0.0 and os.path.exists(LAST_GOOD_PATH):
+                try:
+                    with open(LAST_GOOD_PATH) as f:
+                        cached = json.load(f)
+                    cached = dict(cached)
+                    cached["metric"] += (
+                        " [cached build-round measurement on this chip; live run"
+                        " exceeded the deadline before any program completed]"
+                    )
+                    out = cached
+                except (OSError, ValueError):
+                    pass
+            print(json.dumps(out), flush=True)
+    os._exit(code)
+
+
+def _watchdog():
+    remaining = DEADLINE - (time.time() - START)
+    if remaining > 0:
+        time.sleep(remaining)
+    print(f"# deadline {DEADLINE:.0f}s reached; emitting best-known result",
+          file=sys.stderr, flush=True)
+    _emit(0)
+
+
+def _left():
+    return DEADLINE - (time.time() - START)
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +111,6 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     tris = int(os.environ.get("BENCH_TRIS", "260000"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    bwd_timeout = int(os.environ.get("BENCH_BWD_TIMEOUT", "900"))
 
     t0 = time.time()
     desc, cfg = scenes.config3_sponza(width, height, target_triangles=tris)
@@ -60,109 +119,108 @@ def main():
     print(
         f"# scene ready in {time.time() - t0:.1f}s: {desc.triangle_count} tris, "
         f"{cfg.width}x{cfg.height}, {cfg.num_bounces} bounces",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
 
-    # ---- forward: compile + ray accounting ----
-    fwd = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
-    t0 = time.time()
-    img, stats = fwd(scene)
-    loss0 = float(img.mean())  # forces completion through the tunnel
-    stats = jax.tree_util.tree_map(int, jax.device_get(stats))
-    print(
-        f"# fwd compile+run {time.time() - t0:.1f}s (mean {loss0:.5f}, "
-        f"incomplete {stats.num_incomplete}, dropped {stats.num_dropped})",
-        file=sys.stderr,
-    )
-    total_rays = (
-        stats.num_primary + stats.num_shadow + stats.num_reflection
-        + stats.num_refraction
-    )
+    params = extract_params(scene)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
-    def time_best(fn, sync):
+    # scene/target MUST be jit arguments: closed-over device arrays are baked
+    # into the HLO as literal constants (~160 MB for the Sponza scene), which
+    # the tunneled runtime rejects (HTTP 413)
+    def loss_fn(p, s, tgt):
+        image, stats = renderer.render_with_stats(apply_params(s, p), cfg)
+        return image_loss(image, tgt), (image, stats)
+
+    def time_best(fn, sync, n):
         times = []
-        for _ in range(iters):
+        for _ in range(n):
             t0 = time.time()
             out = fn()
             sync(out)
             times.append(time.time() - t0)
         return min(times)
 
-    fwd_s = time_best(lambda: fwd(scene), lambda o: float(o[0].mean()))
-    print(f"# fwd step {fwd_s*1e3:.1f} ms", file=sys.stderr)
+    def report(stats, step_s, mode):
+        stats = jax.tree_util.tree_map(int, jax.device_get(stats))
+        total_rays = (
+            stats.num_primary + stats.num_shadow + stats.num_reflection
+            + stats.num_refraction
+        )
+        print(
+            f"# {mode}: step {step_s * 1e3:.1f} ms, rays {total_rays}, "
+            f"incomplete {stats.num_incomplete}, dropped {stats.num_dropped}",
+            file=sys.stderr, flush=True,
+        )
+        _set_best(mode, height, total_rays / step_s / 1e6)
 
-    # ---- fwd+bwd with a compile-time budget ----
-    mode = "fwd+bwd"
-    step_s = None
+    # ---- primary: ONE in-jit fwd+bwd program (value_and_grad + aux stats) ----
     try:
-        params = extract_params(scene)
-        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-
-        # scene/target MUST be jit arguments: closed-over device arrays are baked
-        # into the HLO as literal constants (~160 MB for the Sponza scene), which
-        # the tunneled runtime rejects (HTTP 413)
-        def loss_fn(p, s, tgt):
-            image, _ = renderer.render_with_stats(apply_params(s, p), cfg)
-            return image_loss(image, tgt)
-
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(bwd_timeout)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
         t0 = time.time()
-        loss, grads = grad_fn(params, scene, target)
+        (loss, (image, stats)), grads = grad_fn(params, scene, target)
+        mean = float(image.mean())  # forces completion through the tunnel
         jax.block_until_ready(grads)
-        signal.alarm(0)
-        print(f"# bwd compile+run {time.time() - t0:.1f}s, loss={float(loss):.6f}",
-              file=sys.stderr)
+        print(
+            f"# fwd+bwd compile+run {time.time() - t0:.1f}s "
+            f"(loss {float(loss):.6f}, img mean {mean:.5f})",
+            file=sys.stderr, flush=True,
+        )
+        # one-step measurement first so the watchdog has a real number ASAP
         step_s = time_best(
             lambda: grad_fn(params, scene, target),
-            lambda o: jax.block_until_ready(o[1]),
+            lambda o: jax.block_until_ready(o[1]), 1,
         )
-        print(f"# fwd+bwd step {step_s*1e3:.1f} ms", file=sys.stderr)
-    except (_Timeout, Exception) as e:  # noqa: BLE001
-        signal.alarm(0)
-        why = "compile budget" if isinstance(e, _Timeout) else f"{type(e).__name__}: {e}"
-        print(f"# in-jit bwd unavailable ({why}); trying grad accumulation",
-              file=sys.stderr)
-        # Host-driven chunked fwd+bwd: one O(chunk) compiled program, grads
-        # accumulated over strided pixel chunks — same loss/grads, program size
-        # independent of frame size (diff/train.py:make_accum_grad_fn).
+        report(stats, step_s, "fwd+bwd")
+        if iters > 1 and _left() > step_s * (iters - 1) + 30:
+            step_s = min(step_s, time_best(
+                lambda: grad_fn(params, scene, target),
+                lambda o: jax.block_until_ready(o[1]), iters - 1,
+            ))
+            report(stats, step_s, "fwd+bwd")
+        _emit(0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# in-jit fwd+bwd failed ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
+
+    # ---- fallback 1: host-driven chunked gradient accumulation ----
+    if _left() > 120:
         try:
-            params = extract_params(scene)
-            target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
             accum = make_accum_grad_fn(cfg)
-            signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(bwd_timeout)
             t0 = time.time()
             loss, grads, bstats = accum(params, scene, target)
             jax.block_until_ready(grads)
-            signal.alarm(0)
-            bstats = jax.tree_util.tree_map(int, jax.device_get(bstats))
-            print(
-                f"# accum bwd compile+run {time.time() - t0:.1f}s, "
-                f"loss={float(loss):.6f}, incomplete {bstats.num_incomplete}, "
-                f"dropped {bstats.num_dropped}",
-                file=sys.stderr,
-            )
+            print(f"# accum fwd+bwd compile+run {time.time() - t0:.1f}s, "
+                  f"loss {float(loss):.6f}", file=sys.stderr, flush=True)
             step_s = time_best(
                 lambda: accum(params, scene, target),
-                lambda o: jax.block_until_ready(o[1]),
+                lambda o: jax.block_until_ready(o[1]), 1,
             )
-            print(f"# fwd+bwd(accum) step {step_s*1e3:.1f} ms", file=sys.stderr)
-        except (_Timeout, Exception) as e2:  # noqa: BLE001
-            signal.alarm(0)
-            print(f"# accum bwd failed ({type(e2).__name__}: {e2}); forward-only",
-                  file=sys.stderr)
-            mode = "fwd"
-            step_s = fwd_s
+            report(bstats, step_s, "fwd+bwd(accum)")
+            _emit(0)
+        except Exception as e:  # noqa: BLE001
+            print(f"# accum fwd+bwd failed ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
 
-    mrays = total_rays / step_s / 1e6
-    print(json.dumps({
-        "metric": f"Mrays/s/chip {mode}, Sponza-class {height}p",
-        "value": round(mrays, 3),
-        "unit": "MRays/s",
-        "vs_baseline": round(mrays / REFERENCE_MRAYS_ESTIMATE, 4),
-    }))
+    # ---- fallback 2: forward-only ----
+    try:
+        fwd = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
+        t0 = time.time()
+        img, stats = fwd(scene)
+        mean = float(img.mean())
+        print(f"# fwd compile+run {time.time() - t0:.1f}s (mean {mean:.5f})",
+              file=sys.stderr, flush=True)
+        step_s = time_best(lambda: fwd(scene), lambda o: float(o[0].mean()), 1)
+        report(stats, step_s, "fwd")
+        if iters > 1 and _left() > step_s * (iters - 1) + 15:
+            step_s = min(step_s, time_best(
+                lambda: fwd(scene), lambda o: float(o[0].mean()), iters - 1,
+            ))
+            report(stats, step_s, "fwd")
+    except Exception as e:  # noqa: BLE001
+        print(f"# forward-only failed ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
+    _emit(0)
 
 
 if __name__ == "__main__":
