@@ -144,6 +144,16 @@ class RenderConfig:
         (1.0 / 64, 24),
         (1.0 / 256, 96),
     )
+    # Ladder overrides for SECONDARY bounce generations (None = same as the
+    # primary ladders above).  Secondary queues are sized to ~their expected
+    # activity (queue_factor), so a scene-tuned primary ladder whose round 0
+    # compacts below 100% (e.g. config3's shadow ladder assumes the ~39%
+    # contribution-cull of CAMERA hits) can starve a tight secondary wavefront
+    # whose active fraction is higher — starved lanes surface as
+    # RenderStats.num_incomplete (light leaks).  Secondary generations
+    # therefore default to ladders whose round 0 runs every lane.
+    wide_rounds_secondary: object = None
+    wide_rounds_any_secondary: object = None
 
     # Tensor-parallel scene sharding (SURVEY.md 2.3 "tensor/model parallel" row):
     # when set to a mesh axis name (e.g. "sp"), the renderer is being called inside

@@ -348,7 +348,8 @@ def _material_gather(scene, mid):
 
 
 def _shade_generation(
-    scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats, spawn_mask=None
+    scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats, spawn_mask=None,
+    secondary: bool = False,
 ):
     """Trace + shade one generation; returns (fb, child candidates or None, stats).
 
@@ -356,7 +357,15 @@ def _shade_generation(
     ``spawn_mask`` (traced scalar bool, scan path) instead gates spawning
     dynamically: the last scan iteration computes the candidate math but masks
     every child inactive, keeping stats and queue contents identical to the
-    unrolled loop's spawn=False final bounce."""
+    unrolled loop's spawn=False final bounce.  ``secondary`` selects the
+    secondary-generation traversal ladders (config.wide_rounds*_secondary) —
+    tight secondary queues have a higher active fraction than scene-tuned
+    primary ladders assume."""
+    if secondary:
+        if cfg.wide_rounds_secondary is not None:
+            cfg = cfg.replace(wide_rounds=cfg.wide_rounds_secondary)
+        if cfg.wide_rounds_any_secondary is not None:
+            cfg = cfg.replace(wide_rounds_any=cfg.wide_rounds_any_secondary)
     rays = gen.rays
     n = rays.count
     hits, incomplete = trace_scene(scene, bvh, rays, gen.active, cfg)
@@ -680,7 +689,8 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
         def bounce_body(carry, is_last):
             gen, fb, stats = carry
             fb, cand, stats = _shade_generation(
-                scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last
+                scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last,
+                secondary=True,
             )
             sel, dropped = _compact(cand, capacity)
             stats = stats._replace(num_dropped=stats.num_dropped + dropped)
@@ -692,7 +702,9 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
 
     for bounce in range(depth + 1):
         spawn = bounce < depth
-        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, spawn, cfg, stats)
+        fb, cand, stats = _shade_generation(
+            scene, bvh, gen, fb, spawn, cfg, stats, secondary=bounce > 0
+        )
         if cand is None:
             break
         f = factors[min(bounce, len(factors) - 1)]

@@ -231,9 +231,14 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     )
     desc.camera.position = np.array([15.0, 4.0, 0.0])
     desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
-    # mostly-diffuse scene: deep generations carry few rays
+    # mostly-diffuse scene: deep generations carry few rays.  Measured child
+    # activity at 1080p/260k tris (scratch round 3): bounce-0 children 6.2% of
+    # n, later bounces 3.7-5.3% — one shared 3/32 capacity covers every
+    # secondary generation with ~50% headroom (num_dropped, printed by bench
+    # and asserted 0 in the config3 golden, guards the margin), and one shared
+    # capacity means the scan_bounces path re-uses a single traced bounce body.
     cfg = RenderConfig(
-        width=width, height=height, num_bounces=3, queue_factor=(0.25, 0.1, 0.05),
+        width=width, height=height, num_bounces=3, queue_factor=(0.09375,),
         mesh_accelerator=accelerator,
         # shadow ladder tuned to THIS scene's measured post-cull aliveness
         # (scratch/aliveness.py @960x540: active0 39.5%, 16% alive @8 wide
@@ -242,6 +247,14 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         # back-facing / out-of-cone / zero-albedo lanes -> 39% stay active).
         # Effective cost ~6.5 full-wavefront iterations vs 12.2 default.
         wide_rounds_any=((0.5, 8), (0.2, 8), (1.0 / 32, 16), (1.0 / 256, 96)),
+        # Secondary closest rays walk longer than camera primaries AND their
+        # queue is tight (66% active at 3/32 capacity), so the primary ladder's
+        # 1/16 round-2 starves them (measured secondary aliveness of capacity,
+        # 1080p frame 0: 31% alive @16 iters, 3.7% @24, 0.34% @32, 0 @64 —
+        # scratch round 3).  Rounds sized ~2x over that curve:
+        wide_rounds_secondary=(
+            (1.0, 16), (0.5, 8), (0.08, 8), (1.0 / 64, 32), (1.0 / 256, 192),
+        ),
     )
     return desc, cfg
 
