@@ -273,16 +273,22 @@ def sample(
     dt_dx,
     dt_dy,
     cfg: RenderConfig,
+    data4=None,
 ):
     """Config-dispatched texture sample for a wavefront (Texture.h:33-49).
 
     tex: (data [X,3], width [K], height [K], levels [K], offsets [K,16],
     quad_idx [X,4]).  tex_id: [N] int32 per-lane atlas ids (0 = none -> white).
+    ``data4``: optional precomputed quad-row atlas (``expand_quads``) — the
+    whole-atlas gather is scene-only, so callers rendering many wavefronts
+    (one per generation per chunk) should hoist it to frame level instead of
+    re-expanding per call.
     """
     mode = cfg.texture_sample_mode
     if mode == TextureSampleMode.NEAREST:
         return _sample_nearest(tex, tex_id, s, t)
-    data4 = _expand_quads(tex)  # one whole-atlas gather, shared by every tap
+    if data4 is None:
+        data4 = _expand_quads(tex)  # one whole-atlas gather, shared per tap
     if mode == TextureSampleMode.BILINEAR:
         return _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
 
@@ -299,3 +305,8 @@ def sample(
         mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg, data4)
     bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
     return jnp.where((levels[tex_id] > 1)[:, None], mip, bil)
+
+
+def expand_quads(tex):
+    """Public frame-level hoist of the quad-row atlas (see sample(data4=...))."""
+    return _expand_quads(tex)

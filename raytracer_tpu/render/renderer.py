@@ -347,9 +347,20 @@ def _material_gather(scene, mid):
     )
 
 
+def _tex_tuple(scene):
+    return (
+        scene.tex_data,
+        scene.tex_width,
+        scene.tex_height,
+        scene.tex_levels,
+        scene.tex_offsets,
+        scene.tex_quad,
+    )
+
+
 def _shade_generation(
     scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats, spawn_mask=None,
-    secondary: bool = False,
+    secondary: bool = False, tex4=None,
 ):
     """Trace + shade one generation; returns (fb, child candidates or None, stats).
 
@@ -392,18 +403,11 @@ def _shade_generation(
     # material albedo: per-lane gather + texture filter (Raytracer.cpp:117-141)
     mid = jnp.where(hit, hits.material_id, 0)
     diffuse_c, refl_c, trans_c, ior, tex_id = _material_gather(scene, mid)
-    tex = (
-        scene.tex_data,
-        scene.tex_width,
-        scene.tex_height,
-        scene.tex_levels,
-        scene.tex_offsets,
-        scene.tex_quad,
-    )
+    tex = _tex_tuple(scene)
     if scene.tex_data.shape[0] > 1:
         albedo = diffuse_c * texture_sample.sample(
             tex, tex_id, hits.u, hits.v, hits.ds_dx, hits.ds_dy, hits.dt_dx,
-            hits.dt_dy, cfg,
+            hits.dt_dy, cfg, data4=tex4,
         )
     else:
         # static fast path: no textures in the scene (atlas is the white texel),
@@ -621,7 +625,7 @@ def _compact(cand: dict, capacity: int):
 # ---------------------------------------------------------------------------
 
 
-def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
+def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
     """Render an arbitrary batch of pixels; returns (rgb [n,3], RenderStats).
 
     This is the shardable unit: pixel_idx may be any subset/permutation of the frame
@@ -680,7 +684,9 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
         # so drops can only decrease) and the pipeline rolls up as a lax.scan —
         # the traversal ladders + shading compile once instead of once per
         # bounce, roughly halving the 1080p program's compile time (PERF.md r3).
-        fb, cand, stats = _shade_generation(scene, bvh, gen, fb, True, cfg, stats)
+        fb, cand, stats = _shade_generation(
+            scene, bvh, gen, fb, True, cfg, stats, tex4=tex4
+        )
         capacity = max(min(int(round(n * factors[0])), 2 * n), 64)
         sel, dropped = _compact(cand, capacity)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
@@ -690,7 +696,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
             gen, fb, stats = carry
             fb, cand, stats = _shade_generation(
                 scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last,
-                secondary=True,
+                secondary=True, tex4=tex4,
             )
             sel, dropped = _compact(cand, capacity)
             stats = stats._replace(num_dropped=stats.num_dropped + dropped)
@@ -703,7 +709,8 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None):
     for bounce in range(depth + 1):
         spawn = bounce < depth
         fb, cand, stats = _shade_generation(
-            scene, bvh, gen, fb, spawn, cfg, stats, secondary=bounce > 0
+            scene, bvh, gen, fb, spawn, cfg, stats, secondary=bounce > 0,
+            tex4=tex4,
         )
         if cand is None:
             break
@@ -741,8 +748,19 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
         if scene.n_instances > 0
         else None
     )
+    # frame-level hoist of the quad-row atlas: scene-only, so every chunk x
+    # generation shares ONE whole-atlas gather instead of re-expanding per
+    # sample() call inside the lax.map body
+    from ..config import TextureSampleMode
+
+    tex4 = (
+        texture_sample.expand_quads(_tex_tuple(scene))
+        if scene.tex_data.shape[0] > 1
+        and cfg.texture_sample_mode != TextureSampleMode.NEAREST
+        else None
+    )
     if n_chunks <= 1:
-        return render_wavefront(scene, cfg, pixel_idx, bvh=bvh)
+        return render_wavefront(scene, cfg, pixel_idx, bvh=bvh, tex4=tex4)
 
     padded = n_chunks * chunk
     idx = jnp.concatenate(
@@ -759,7 +777,7 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
         policy=jax.checkpoint_policies.save_only_these_names("trace"),
     )
     def body(ic):
-        return render_wavefront(scene, cfg, ic, bvh=bvh)
+        return render_wavefront(scene, cfg, ic, bvh=bvh, tex4=tex4)
 
     fb_c, stats_c = jax.lax.map(body, idx_chunks)
     fb = fb_c.transpose(1, 0, 2).reshape(padded, 3)[:n]
