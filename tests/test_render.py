@@ -176,6 +176,32 @@ def test_chunked_matches_whole_frame():
         assert int(a) == int(b)
 
 
+def test_scan_bounces_matches_unrolled():
+    """The lax.scan secondary-bounce path (one traced bounce body, shared
+    capacity) matches the per-bounce unrolled loop on a reflective+refractive
+    scene: every ray counter is IDENTICAL at full depth 8 (the last scan
+    iteration masks spawning instead of skipping it), and the image agrees to
+    fp-reassociation level at the flagship depth (XLA fuses the unrolled
+    bounces differently, so bit-equality is not expected; measured divergence
+    is ~2e-6 at depth 3, compounding only through deep near-TIR dielectric
+    chains)."""
+    desc, cfg = scenes.make_scene("config2")
+    cfg = cfg.replace(width=48, height=32)
+    scene = pack_scene(desc, cfg.width, cfg.height)
+    img_s, st_s = renderer.render_with_stats(scene, cfg.replace(scan_bounces=True))
+    img_u, st_u = renderer.render_with_stats(scene, cfg.replace(scan_bounces=False))
+    for a, b in zip(st_s, st_u):
+        assert int(a) == int(b)
+    assert int(st_s.num_reflection) > 0 and int(st_s.num_refraction) > 0
+
+    cfg3 = cfg.replace(num_bounces=3)
+    img_s3, _ = renderer.render_with_stats(scene, cfg3.replace(scan_bounces=True))
+    img_u3, _ = renderer.render_with_stats(scene, cfg3.replace(scan_bounces=False))
+    np.testing.assert_allclose(
+        np.asarray(img_s3), np.asarray(img_u3), atol=1e-5, rtol=0
+    )
+
+
 def test_fxaa_shape_and_range():
     from raytracer_tpu.ops import fxaa
 
