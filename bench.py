@@ -18,8 +18,11 @@ running Sponza 900x600x(1+3 bounces) at ~30 fps traces roughly 40 MRays/s total
 (primary + shadow + secondary, Main.cpp:87-95 definitions).
 """
 
+import hashlib
+import glob
 import json
 import os
+import signal
 import sys
 import threading
 import time
@@ -29,6 +32,33 @@ DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "1320"))
 REFERENCE_MRAYS_ESTIMATE = 40.0
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_last.json")
+
+
+def _fingerprint():
+    """Hash of every source file that shapes the benched programs: the cached
+    deadline-fallback measurement is only valid for the exact code it was
+    measured on."""
+    h = hashlib.sha256()
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(root, "raytracer_tpu", "**", "*.py"),
+                             recursive=True))
+    files.append(os.path.abspath(__file__))
+    for f in files:
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+FINGERPRINT = _fingerprint()
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout()
 
 _best = {
     "metric": "Mrays/s/chip unavailable (no program completed before deadline), "
@@ -51,7 +81,7 @@ def _set_best(mode, height, mrays):
     }
     try:  # remember the measurement for the deadline fallback of a later run
         with open(LAST_GOOD_PATH, "w") as f:
-            json.dump(_best, f)
+            json.dump({**_best, "fingerprint": FINGERPRINT}, f)
     except OSError:
         pass
 
@@ -66,12 +96,16 @@ def _emit(code=0):
                 try:
                     with open(LAST_GOOD_PATH) as f:
                         cached = json.load(f)
-                    cached = dict(cached)
-                    cached["metric"] += (
-                        " [cached build-round measurement on this chip; live run"
-                        " exceeded the deadline before any program completed]"
-                    )
-                    out = cached
+                    # replay ONLY a measurement of this exact source tree: a
+                    # stale number must never stand in for changed code
+                    if cached.pop("fingerprint", None) == FINGERPRINT:
+                        cached = dict(cached)
+                        cached["metric"] += (
+                            " [cached build-round measurement of this exact"
+                            " code on this chip; live run exceeded the"
+                            " deadline before any program completed]"
+                        )
+                        out = cached
                 except (OSError, ValueError):
                     pass
             print(json.dumps(out), flush=True)
@@ -155,7 +189,12 @@ def main():
         _set_best(mode, height, total_rays / step_s / 1e6)
 
     # ---- primary: ONE in-jit fwd+bwd program (value_and_grad + aux stats) ----
+    # Per-phase SIGALRM bounds: a server-queued compile BLOCKS rather than
+    # raising, so without an alarm a hung primary would eat the whole deadline
+    # and the fallbacks below would never run.
+    signal.signal(signal.SIGALRM, _alarm)
     try:
+        signal.alarm(max(int(_left() - 300), 60))
         grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
         t0 = time.time()
         (loss, (image, stats)), grads = grad_fn(params, scene, target)
@@ -171,6 +210,7 @@ def main():
             lambda: grad_fn(params, scene, target),
             lambda o: jax.block_until_ready(o[1]), 1,
         )
+        signal.alarm(0)
         report(stats, step_s, "fwd+bwd")
         if iters > 1 and _left() > step_s * (iters - 1) + 30:
             step_s = min(step_s, time_best(
@@ -179,13 +219,15 @@ def main():
             ))
             report(stats, step_s, "fwd+bwd")
         _emit(0)
-    except Exception as e:  # noqa: BLE001
+    except (_Timeout, Exception) as e:  # noqa: BLE001
+        signal.alarm(0)
         print(f"# in-jit fwd+bwd failed ({type(e).__name__}: {e})",
               file=sys.stderr, flush=True)
 
     # ---- fallback 1: host-driven chunked gradient accumulation ----
     if _left() > 120:
         try:
+            signal.alarm(max(int(_left() - 120), 60))
             accum = make_accum_grad_fn(cfg)
             t0 = time.time()
             loss, grads, bstats = accum(params, scene, target)
@@ -196,14 +238,17 @@ def main():
                 lambda: accum(params, scene, target),
                 lambda o: jax.block_until_ready(o[1]), 1,
             )
+            signal.alarm(0)
             report(bstats, step_s, "fwd+bwd(accum)")
             _emit(0)
-        except Exception as e:  # noqa: BLE001
+        except (_Timeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
             print(f"# accum fwd+bwd failed ({type(e).__name__}: {e})",
                   file=sys.stderr, flush=True)
 
     # ---- fallback 2: forward-only ----
     try:
+        signal.alarm(max(int(_left() - 20), 30))
         fwd = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
         t0 = time.time()
         img, stats = fwd(scene)
@@ -211,13 +256,15 @@ def main():
         print(f"# fwd compile+run {time.time() - t0:.1f}s (mean {mean:.5f})",
               file=sys.stderr, flush=True)
         step_s = time_best(lambda: fwd(scene), lambda o: float(o[0].mean()), 1)
+        signal.alarm(0)
         report(stats, step_s, "fwd")
         if iters > 1 and _left() > step_s * (iters - 1) + 15:
             step_s = min(step_s, time_best(
                 lambda: fwd(scene), lambda o: float(o[0].mean()), iters - 1,
             ))
             report(stats, step_s, "fwd")
-    except Exception as e:  # noqa: BLE001
+    except (_Timeout, Exception) as e:  # noqa: BLE001
+        signal.alarm(0)
         print(f"# forward-only failed ({type(e).__name__}: {e})",
               file=sys.stderr, flush=True)
     _emit(0)

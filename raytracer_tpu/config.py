@@ -151,7 +151,9 @@ class RenderConfig:
     # contribution-cull of CAMERA hits) can starve a tight secondary wavefront
     # whose active fraction is higher — starved lanes surface as
     # RenderStats.num_incomplete (light leaks).  Secondary generations
-    # therefore default to ladders whose round 0 runs every lane.
+    # should therefore be given ladders whose round 0 runs every lane (the
+    # None default inherits the primary ladders unchanged — scene configs that
+    # tune a compacting primary round 0 must set these too, as config3 does).
     wide_rounds_secondary: object = None
     wide_rounds_any_secondary: object = None
 

@@ -636,6 +636,13 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
     """
     n = pixel_idx.shape[0]
     lane_active = pixel_idx >= 0
+    if tex4 is None and scene.tex_data.shape[0] > 1:
+        from ..config import TextureSampleMode
+
+        if cfg.texture_sample_mode != TextureSampleMode.NEAREST:
+            # direct callers (accum/train microbatches) get the same one-per-
+            # program quad-atlas expansion render_pixels hoists to frame level
+            tex4 = texture_sample.expand_quads(_tex_tuple(scene))
     rays = primary_rays_for(scene, cfg, jnp.maximum(pixel_idx, 0))
     fb = jnp.zeros((n, 3), jnp.float32)
     stats = RenderStats(
@@ -687,7 +694,10 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
         fb, cand, stats = _shade_generation(
             scene, bvh, gen, fb, True, cfg, stats, tex4=tex4
         )
-        capacity = max(min(int(round(n * factors[0])), 2 * n), 64)
+        # max over the tuple (not factors[0]) so the shared capacity dominates
+        # every unrolled per-bounce capacity even for non-decreasing tuples —
+        # the scan path can then only drop FEWER rays than the unrolled loop
+        capacity = max(min(int(round(n * max(factors))), 2 * n), 64)
         sel, dropped = _compact(cand, capacity)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = gen_from_sel(sel)

@@ -255,6 +255,11 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         wide_rounds_secondary=(
             (1.0, 16), (0.5, 8), (0.08, 8), (1.0 / 64, 32), (1.0 / 256, 192),
         ),
+        # secondary shadow wavefronts can exceed the 50% round-0 cull
+        # assumption of the camera-tuned any ladder above on unmeasured camera
+        # poses; give them the default full-round-0 ladder (costs ~0 within
+        # frame-time noise, removes the starvation hazard)
+        wide_rounds_any_secondary=RenderConfig.wide_rounds_any,
     )
     return desc, cfg
 
