@@ -166,6 +166,12 @@ def main():
         image, stats = renderer.render_with_stats(apply_params(s, p), cfg)
         return image_loss(image, tgt), (image, stats)
 
+    def force(tree):
+        """Force completion with a SCALAR READBACK: block_until_ready can
+        return without blocking on this runtime (measured 0.5 ms for a 4.6 s
+        step — PERF.md), so every timing sync transfers one reduced scalar."""
+        return float(jax.tree_util.tree_leaves(tree)[0].sum())
+
     def time_best(fn, sync, n):
         times = []
         for _ in range(n):
@@ -208,14 +214,14 @@ def main():
         # one-step measurement first so the watchdog has a real number ASAP
         step_s = time_best(
             lambda: grad_fn(params, scene, target),
-            lambda o: jax.block_until_ready(o[1]), 1,
+            lambda o: force(o[1]), 1,
         )
         signal.alarm(0)
         report(stats, step_s, "fwd+bwd")
         if iters > 1 and _left() > step_s * (iters - 1) + 30:
             step_s = min(step_s, time_best(
                 lambda: grad_fn(params, scene, target),
-                lambda o: jax.block_until_ready(o[1]), iters - 1,
+                lambda o: force(o[1]), iters - 1,
             ))
             report(stats, step_s, "fwd+bwd")
         _emit(0)
@@ -236,7 +242,7 @@ def main():
                   f"loss {float(loss):.6f}", file=sys.stderr, flush=True)
             step_s = time_best(
                 lambda: accum(params, scene, target),
-                lambda o: jax.block_until_ready(o[1]), 1,
+                lambda o: force(o[1]), 1,
             )
             signal.alarm(0)
             report(bstats, step_s, "fwd+bwd(accum)")
