@@ -27,13 +27,17 @@ def measure(scene, cfg: RenderConfig, device_counts=(1, 2, 4, 8), iters: int = 3
     single = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
 
     def timed(fn, *a):
+        # force completion with a SCALAR READBACK: block_until_ready can
+        # return without blocking on the tunneled TPU runtime (measured 0.5 ms
+        # for a multi-second step — PERF.md round 3), which previously
+        # inflated the real-chip rays/s by orders of magnitude
         out = fn(*a)
-        jax.block_until_ready(out)
+        float(out[0].sum())
         best = np.inf
         for _ in range(iters):
             t0 = time.time()
             out = fn(*a)
-            jax.block_until_ready(out)
+            float(out[0].sum())
             best = min(best, time.time() - t0)
         return best, out
 
