@@ -68,7 +68,10 @@ def main(argv=None):
         scene = packer.frame()
         img, stats = render(scene)
         shown = present(img)
-        jax.block_until_ready(shown)
+        # scalar readback: block_until_ready can return without blocking on
+        # the tunneled TPU runtime (PERF.md round 3), which would make the
+        # frame clock (and the MRays/s panel) report dispatch time only
+        float(shown.sum())
         delta = timer.tick()
 
         metrics = mrays_per_second(stats, delta)
