@@ -8,6 +8,7 @@ The per-lane scalar gathers become one batched ``jnp.take``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core import vecmath as vm
 
@@ -20,8 +21,15 @@ def sample_sky(sky_data, sky_size, direction):
     size_f = sky_size.astype(jnp.float32)
     u = x * r + 0.5
     v = y * r + 0.5
-    px = (u * size_f).astype(jnp.int32)
-    py = (v * size_f).astype(jnp.int32)
+    # Util::float_to_int / SIMD_float_to_int round to NEAREST (cvtps), not
+    # truncate (Sky.cpp:40-41) — near a steep probe gradient (the sun) the two
+    # pick different texels for half the sky, caught by the oracle parity test
+    px = jnp.floor(u * size_f + 0.5).astype(jnp.int32)
+    py = jnp.floor(v * size_f + 0.5).astype(jnp.int32)
     index = py * sky_size + px
     index = jnp.clip(index, 0, sky_size * sky_size - 1)
-    return vm.ONE_OVER_PI * jnp.take(sky_data, index, axis=0)
+    # gathered probe texels are saved as checkpoint residuals ("gather" name,
+    # render/renderer.py policy) so bwd reuses them instead of re-gathering
+    return vm.ONE_OVER_PI * checkpoint_name(
+        jnp.take(sky_data, index, axis=0), "gather"
+    )

@@ -17,6 +17,7 @@ filters) the sample coordinates.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import MipmapFilter, RenderConfig, TextureSampleMode
 from ..core.vecmath import safe_sqrt as _safe_sqrt
@@ -33,7 +34,11 @@ def _fetch_texel(tex, tex_id, x, y, level):
     x = jnp.mod(x, w)  # positive mod (Math.h:44-52)
     y = jnp.mod(y, h)
     idx = offsets[tex_id, level] + x + y * w
-    return jnp.take(data, idx, axis=0)
+    # name the gathered texels as checkpoint residuals: atlas gathers dominate
+    # the texture stage's cost (PERF.md: ~13 ns/lane fixed per gather op) and
+    # their values are exactly what the filter VJPs need as primals — saving
+    # them keeps the bwd pass from re-walking the whole tap chain
+    return checkpoint_name(jnp.take(data, idx, axis=0), "gather")
 
 
 def _expand_quads(tex):
@@ -87,7 +92,11 @@ def _sample_bilinear(tex, tex_id, s, t, level, data4=None):
         )
     x = jnp.mod(x0, lwi)
     y = jnp.mod(y0, lhi)
-    q = jnp.take(data4, offsets[tex_id, level] + x + y * lwi, axis=0)  # [N,12]
+    # [N,12]; named for the same reason as _fetch_texel: one saved row per tap
+    # replaces the bwd re-gather of the whole 2x2 footprint
+    q = checkpoint_name(
+        jnp.take(data4, offsets[tex_id, level] + x + y * lwi, axis=0), "gather"
+    )
     return (
         w0[:, None] * q[:, 0:3]
         + w1[:, None] * q[:, 3:6]

@@ -340,7 +340,8 @@ def _round_up(n, mult):
     return (n + mult - 1) // mult * mult
 
 
-def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
+def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool,
+                root: int = 0):
     """Straggler ladder (see ops/traversal.py): statically-bounded rounds over
     geometrically smaller compacted wavefronts.
 
@@ -348,7 +349,11 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
     ALIVE lanes (inactive rays are EXIT from birth) before any iteration runs —
     the cheap-first-compaction shape used for shadow wavefronts where a large
     fraction of lanes is culled before traversal (back-facing / zero-contribution,
-    renderer.py)."""
+    renderer.py).  Because nothing has run yet at round 0, the compacted
+    sub-state is REBUILT fresh (stack of zeros, sp=0, root entries) instead of
+    gathered — only the ray arrays (and the closest-hit t seed) pay a gather,
+    cutting the dominant boundary's per-lane op count roughly in half
+    (compaction cost itemization, PERF.md round 4)."""
     n = state["cur"].shape[0]
     rounds = cfg.wide_rounds_any if any_hit else cfg.wide_rounds
     from ..config import TraversalStrategy
@@ -365,26 +370,43 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool):
         return jax.lax.fori_loop(0, iters, body, (s, stk), unroll=cfg.traversal_unroll)
 
     for ri, (frac, iters) in enumerate(rounds):
+        last = ri == len(rounds) - 1
         m = _round_up(max(int(round(n * frac)), 256), _LANES)
-        if ri == 0 and frac >= 1.0:
-            state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
-            continue
-        if m >= n:
+        if (ri == 0 and frac >= 1.0) or m >= n:
             state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
             continue
         alive = _alive(state, any_hit)
         sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
-        sub = {k: v[sel] for k, v in state.items()}
+        if ri == 0:
+            # fresh sub-state: slots [0, n_alive) of a round-0 compaction hold
+            # exactly the alive lanes (stable compaction of untouched state), so
+            # re-init with root entries reproduces the gathered state bit-for-bit
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            sub_active = jnp.arange(m, dtype=jnp.int32) < n_alive
+            t_seed = t_fixed[sel] if any_hit else state["t_best"][sel]
+            sub = _init_state(
+                t_seed, sub_active, root, any_hit, track_steps="steps" in state
+            )
+            sub_stack = jnp.zeros((m, stack.shape[1]), jnp.int32)
+        else:
+            sub = {k: v[sel] for k, v in state.items()}
+            sub_stack = stack[sel]
         sub, sub_stack = run(
             sub,
-            stack[sel],
+            sub_stack,
             o_w[sel],
             d_w[sel],
             t_fixed[sel] if t_fixed is not None else None,
             iters,
         )
-        state = {k: state[k].at[sel].set(sub[k]) for k in state}
-        stack = stack.at[sel].set(sub_stack)
+        if last:
+            # nothing after the ladder reads sp/stack — skip their write-backs
+            sub.pop("sp")
+        state = {
+            **state, **{k: state[k].at[sel].set(v) for k, v in sub.items()}
+        }
+        if not last:
+            stack = stack.at[sel].set(sub_stack)
     return state
 
 
@@ -410,7 +432,8 @@ def trace_closest(
     track_steps = cfg.visualize_heatmap
     state = _init_state(t_max, active, bvh.root, any_hit=False, track_steps=track_steps)
     stack = jnp.zeros((o.shape[0], cfg.wide_stack_size), jnp.int32)
-    state = _run_rounds(bvh, state, stack, o, d, None, cfg, any_hit=False)
+    state = _run_rounds(bvh, state, stack, o, d, None, cfg, any_hit=False,
+                        root=bvh.root)
     incomplete = jnp.sum((_alive(state, False) | state["ovf"]).astype(jnp.int32))
     best = state["best"][:n]
     tri = jnp.where(best >= 0, best >> 8, -1)
@@ -434,7 +457,8 @@ def trace_any(bvh: WideSceneBVH, o, d, t_max, active, cfg: RenderConfig):
     o, d, t_max, active, n = _pad_inputs(o, d, t_max, active)
     state = _init_state(t_max, active, bvh.root, any_hit=True, track_steps=False)
     stack = jnp.zeros((o.shape[0], cfg.wide_stack_size), jnp.int32)
-    state = _run_rounds(bvh, state, stack, o, d, t_max, cfg, any_hit=True)
+    state = _run_rounds(bvh, state, stack, o, d, t_max, cfg, any_hit=True,
+                        root=bvh.root)
     incomplete = jnp.sum((_alive(state, True) | (state["ovf"] & ~state["found"]))
                          .astype(jnp.int32))
     return state["found"][:n], incomplete

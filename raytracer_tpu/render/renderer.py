@@ -134,8 +134,16 @@ def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -
     ti = jnp.maximum(res.tri, 0)
     ii = jnp.maximum(res.inst, 0)
 
-    inv = jnp.take(scene.inst_inv, ii, axis=0)  # [N,3,4]
-    world = jnp.take(scene.inst_world, ii, axis=0)
+    # Per-lane rows gathered from NON-differentiable scene geometry (triangle
+    # SoA, instance matrices) at discrete ids: pure functions of the saved
+    # traversal result, so they are named checkpoint residuals ("gather") —
+    # bwd then reuses the ~15 gathered rows per lane instead of re-issuing the
+    # gathers (each ~13 ns/lane fixed cost, PERF.md round-3 step attribution).
+    def g(arr, idx):
+        return checkpoint_name(jnp.take(arr, idx, axis=0), "gather")
+
+    inv = g(scene.inst_inv, ii)  # [N,3,4]
+    world = g(scene.inst_world, ii)
 
     def xp(m, p):
         return jnp.einsum("nij,nj->ni", m[:, :, :3], p) + m[:, :, 3]
@@ -146,9 +154,9 @@ def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -
     o_obj = xp(inv, rays.origin)
     d_obj = xd(inv, rays.direction)
 
-    p0 = jnp.take(scene.tr_p0, ti, axis=0)
-    e1 = jnp.take(scene.tr_e1, ti, axis=0)
-    e2 = jnp.take(scene.tr_e2, ti, axis=0)
+    p0 = g(scene.tr_p0, ti)
+    e1 = g(scene.tr_e1, ti)
+    e2 = g(scene.tr_e2, ti)
 
     # differentiable re-derivation of (t, u, v) for the known triangle
     hmt = jnp.cross(d_obj, e2)
@@ -162,18 +170,18 @@ def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -
 
     point = rays.origin + t[:, None] * rays.direction
 
-    n0 = jnp.take(scene.tr_n0, ti, axis=0)
-    ne1 = jnp.take(scene.tr_ne1, ti, axis=0)
-    ne2 = jnp.take(scene.tr_ne2, ti, axis=0)
+    n0 = g(scene.tr_n0, ti)
+    ne1 = g(scene.tr_ne1, ti)
+    ne2 = g(scene.tr_ne2, ti)
     n_raw = n0 + u[:, None] * ne1 + v[:, None] * ne2
     normal = xd(world, vm.normalize(n_raw, eps=1e-20))
 
-    t0 = jnp.take(scene.tr_t0, ti, axis=0)
-    te1 = jnp.take(scene.tr_te1, ti, axis=0)
-    te2 = jnp.take(scene.tr_te2, ti, axis=0)
+    t0 = g(scene.tr_t0, ti)
+    te1 = g(scene.tr_te1, ti)
+    te2 = g(scene.tr_te2, ti)
     uv = t0 + u[:, None] * te1 + v[:, None] * te2
 
-    material = jnp.take(scene.tr_material, ti, axis=0)
+    material = g(scene.tr_material, ti)
 
     # Ray Tracing Gems ch.20 differentials (BottomLevelBVH.cpp:275-305), in object
     # space; vector-valued outputs rotated to world (rigid transforms).
@@ -338,12 +346,16 @@ class _Generation(NamedTuple):
 
 
 def _material_gather(scene, mid):
+    # named residuals: bwd reuses the gathered per-lane material rows (the VJP
+    # to the mat_* parameter tables is a scatter at the same discrete ids and
+    # does not need the gather re-run)
+    g = functools.partial(checkpoint_name, name="gather")
     return (
-        jnp.take(scene.mat_diffuse, mid, axis=0),
-        jnp.take(scene.mat_reflection, mid, axis=0),
-        jnp.take(scene.mat_transmittance, mid, axis=0),
-        jnp.take(scene.mat_ior, mid, axis=0),
-        jnp.take(scene.mat_texture, mid, axis=0),
+        g(jnp.take(scene.mat_diffuse, mid, axis=0)),
+        g(jnp.take(scene.mat_reflection, mid, axis=0)),
+        g(jnp.take(scene.mat_transmittance, mid, axis=0)),
+        g(jnp.take(scene.mat_ior, mid, axis=0)),
+        g(jnp.take(scene.mat_texture, mid, axis=0)),
     )
 
 
@@ -778,13 +790,16 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
     )
     idx_chunks = idx.reshape(chunk, n_chunks).T  # [n_chunks, chunk], strided
 
-    # save-named policy: traversal outputs (discrete, stop_gradient'd — see
-    # trace_scene/intersect_scene) are kept as residuals; everything
-    # differentiable is rematerialized.  bwd therefore re-runs shading/texture
-    # math per chunk but never the BVH walk.
+    # save-named policy: traversal outputs ("trace": discrete, stop_gradient'd —
+    # see trace_scene/intersect_scene) AND per-lane gather results ("gather":
+    # triangle/instance rows, material rows, texture taps, sky texels) are kept
+    # as residuals; the cheap VPU math between them is rematerialized.  bwd
+    # therefore never re-walks the BVH and never re-issues the id-indexed
+    # gather chains (each gather op ~13 ns/lane fixed, PERF.md) — it replays
+    # only fused elementwise shading math between saved rows.
     @functools.partial(
         jax.checkpoint,
-        policy=jax.checkpoint_policies.save_only_these_names("trace"),
+        policy=jax.checkpoint_policies.save_only_these_names("trace", "gather"),
     )
     def body(ic):
         return render_wavefront(scene, cfg, ic, bvh=bvh, tex4=tex4)
