@@ -35,9 +35,9 @@ LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _fingerprint():
-    """Hash of every source file that shapes the benched programs: the cached
-    deadline-fallback measurement is only valid for the exact code it was
-    measured on."""
+    """Hash of every source file AND the resolved workload parameters that
+    shape the benched programs: the cached deadline-fallback measurement is
+    only valid for the exact code and workload it was measured on."""
     h = hashlib.sha256()
     root = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(root, "raytracer_tpu", "**", "*.py"),
@@ -47,6 +47,8 @@ def _fingerprint():
         h.update(f.encode())
         with open(f, "rb") as fh:
             h.update(fh.read())
+    for var in ("BENCH_WIDTH", "BENCH_HEIGHT", "BENCH_TRIS", "BENCH_ITERS"):
+        h.update(f"{var}={os.environ.get(var, '')}".encode())
     return h.hexdigest()
 
 
@@ -96,16 +98,22 @@ def _emit(code=0):
                 try:
                     with open(LAST_GOOD_PATH) as f:
                         cached = json.load(f)
-                    # replay ONLY a measurement of this exact source tree: a
-                    # stale number must never stand in for changed code
+                    # Surface ONLY a measurement of this exact source tree +
+                    # workload, and NEVER in the live value/vs_baseline fields:
+                    # a machine consumer must not mistake a replay for this
+                    # run's measurement (ADVICE round 3) — the cached figure
+                    # goes under distinct cached_* keys, value stays 0.
                     if cached.pop("fingerprint", None) == FINGERPRINT:
-                        cached = dict(cached)
-                        cached["metric"] += (
-                            " [cached build-round measurement of this exact"
-                            " code on this chip; live run exceeded the"
-                            " deadline before any program completed]"
+                        out = dict(out)
+                        out["cached_value"] = cached.get("value")
+                        out["cached_vs_baseline"] = cached.get("vs_baseline")
+                        out["metric"] = (
+                            "Mrays/s/chip unavailable (live run exceeded the"
+                            " deadline before any program completed);"
+                            " cached_value is a prior build-round measurement"
+                            " of this exact code+workload on this chip: "
+                            + cached.get("metric", "")
                         )
-                        out = cached
                 except (OSError, ValueError):
                     pass
             print(json.dumps(out), flush=True)
@@ -192,6 +200,14 @@ def main():
             f"incomplete {stats.num_incomplete}, dropped {stats.num_dropped}",
             file=sys.stderr, flush=True,
         )
+        # scene-tuned queues/ladders assume the measured camera pose; a frame
+        # that drops rays or starves lanes is flagged IN the metric so a lossy
+        # number can never pass silently (ADVICE round 3, scenes.py queues)
+        if stats.num_dropped or stats.num_incomplete:
+            mode += (
+                f" [LOSSY: dropped {stats.num_dropped},"
+                f" incomplete {stats.num_incomplete}]"
+            )
         _set_best(mode, height, total_rays / step_s / 1e6)
 
     # ---- primary: ONE in-jit fwd+bwd program (value_and_grad + aux stats) ----
@@ -206,11 +222,19 @@ def main():
         (loss, (image, stats)), grads = grad_fn(params, scene, target)
         mean = float(image.mean())  # forces completion through the tunnel
         jax.block_until_ready(grads)
+        compile_s = time.time() - t0
         print(
-            f"# fwd+bwd compile+run {time.time() - t0:.1f}s "
+            f"# fwd+bwd compile+run {compile_s:.1f}s "
             f"(loss {float(loss):.6f}, img mean {mean:.5f})",
             file=sys.stderr, flush=True,
         )
+        if compile_s > 60:
+            print(
+                "# COLD SERVER COMPILE CACHE detected (compile+run >> step):"
+                " run tools/warm_bench.py after the final source change so"
+                " the driver-round bench starts warm (PERF.md round 3)",
+                file=sys.stderr, flush=True,
+            )
         # one-step measurement first so the watchdog has a real number ASAP
         step_s = time_best(
             lambda: grad_fn(params, scene, target),

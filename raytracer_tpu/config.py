@@ -154,8 +154,8 @@ class RenderConfig:
     # should therefore be given ladders whose round 0 runs every lane (the
     # None default inherits the primary ladders unchanged — scene configs that
     # tune a compacting primary round 0 must set these too, as config3 does).
-    wide_rounds_secondary: object = None
-    wide_rounds_any_secondary: object = None
+    wide_rounds_secondary: "tuple | None" = None
+    wide_rounds_any_secondary: "tuple | None" = None
 
     # Tensor-parallel scene sharding (SURVEY.md 2.3 "tensor/model parallel" row):
     # when set to a mesh axis name (e.g. "sp"), the renderer is being called inside
@@ -163,7 +163,7 @@ class RenderConfig:
     # (parallel/scene_shard.py); closest-hit records are min-t combined and any-hit
     # masks OR-combined across the axis after each local traversal.  None (default)
     # = scene replicated, no collectives in the forward pass.
-    scene_shard_axis: object = None
+    scene_shard_axis: "str | None" = None
 
     # Shadow-ray origin offset along the surface normal, in world units.  0.0 keeps
     # the reference's exact scheme (origin ON the surface, RAY_EPSILON as t_min,
@@ -180,7 +180,7 @@ class RenderConfig:
     # so 2.0 is lossless; smaller trades a bounded amount of energy for compute.
     # May be a tuple giving per-bounce-depth fractions (last entry repeats): scenes
     # that are mostly diffuse shrink deep generations aggressively.
-    queue_factor: object = 2.0
+    queue_factor: "float | tuple" = 2.0
 
     # Roll the secondary bounce generations into ONE lax.scan body (all secondary
     # queues share the bounce-1 capacity) instead of Python-unrolling a separate
@@ -190,6 +190,15 @@ class RenderConfig:
     # identical whenever no queue overflows (capacities can only grow vs. a
     # decaying per-bounce queue_factor tuple, so drops can only decrease).
     scan_bounces: bool = True
+
+    # Rematerialization policy of the per-chunk render body under reverse-mode
+    # AD.  True (default): jax.checkpoint with the save-named policy — only
+    # traversal outputs ("trace") and id-indexed gather results ("gather") are
+    # kept as residuals, elementwise shading math is recomputed in bwd; bounds
+    # activation memory to O(chunk).  False: no checkpoint — XLA saves every
+    # differentiable-path intermediate (traversal internals are stop_gradient'd
+    # and still dropped), trading HBM for zero bwd recompute.
+    chunk_checkpoint: bool = True
 
     # Post-processing (Config.h:20)
     enable_fxaa: bool = False

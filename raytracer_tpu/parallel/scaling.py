@@ -30,7 +30,12 @@ def measure(scene, cfg: RenderConfig, device_counts=(1, 2, 4, 8), iters: int = 3
         # force completion with a SCALAR READBACK: block_until_ready can
         # return without blocking on the tunneled TPU runtime (measured 0.5 ms
         # for a multi-second step — PERF.md round 3), which previously
-        # inflated the real-chip rays/s by orders of magnitude
+        # inflated the real-chip rays/s by orders of magnitude.  The sum +
+        # host transfer sits inside the timed region (it is what forces the
+        # work); its cost — one device reduce + a per-dispatch RTT of ~20-40 ms
+        # (PERF.md cost model) — is negligible against multi-second steps but
+        # inflates sub-100 ms measurements; interpret small-frame curves
+        # accordingly (ADVICE round 3).
         out = fn(*a)
         float(out[0].sum())
         best = np.inf

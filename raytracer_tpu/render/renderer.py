@@ -797,12 +797,16 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
     # therefore never re-walks the BVH and never re-issues the id-indexed
     # gather chains (each gather op ~13 ns/lane fixed, PERF.md) — it replays
     # only fused elementwise shading math between saved rows.
-    @functools.partial(
-        jax.checkpoint,
-        policy=jax.checkpoint_policies.save_only_these_names("trace", "gather"),
-    )
     def body(ic):
         return render_wavefront(scene, cfg, ic, bvh=bvh, tex4=tex4)
+
+    if cfg.chunk_checkpoint:
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "trace", "gather"
+            ),
+        )
 
     fb_c, stats_c = jax.lax.map(body, idx_chunks)
     fb = fb_c.transpose(1, 0, 2).reshape(padded, 3)[:n]

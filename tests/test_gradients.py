@@ -287,3 +287,94 @@ def test_grad_uv_through_mip_lod_is_piecewise():
     # derivative-input gradient: the level is floor/round-quantized (zero grad);
     # only the aniso probe offsets (step * (i/(N+1) - 0.5)) contribute
     assert np.isfinite(g_d).all()
+
+
+def test_grad_fd_production_secondary_path():
+    """FD gradient check through the PRODUCTION pipeline shape (VERDICT r3 #6):
+    64x64, depth 3, scan_bounces=True with a TIGHT shared secondary queue
+    (nonzero compaction pressure, dropped == 0), MIPMAP + anisotropic LOD, a
+    mesh instance in the wavefront, and the config3-style secondary traversal
+    ladders.  Earlier FD coverage ran <=24^2 BILINEAR unrolled paths only; this
+    ties autodiff correctness to the exact machinery the bench runs (lax.scan
+    bounce body, spawn_mask gating, queue compaction, save-named remat)."""
+    from raytracer_tpu.accel.blas import build_blas
+    from raytracer_tpu.config import MeshAccelerator, MipmapFilter
+    from raytracer_tpu.scene import meshgen
+    from raytracer_tpu.scene.description import SpotLight
+
+    cfg = RenderConfig(
+        width=64, height=64, num_bounces=3,
+        # tight shared queue: children are ~20-30% of lanes here, so 0.5 gives
+        # real compaction pressure (capacity << 2n candidates) with no drops
+        queue_factor=(0.5,), scan_bounces=True,
+        texture_sample_mode=TextureSampleMode.MIPMAP,
+        mipmap_filter=MipmapFilter.ANISOTROPIC,
+        traversal_chunk=1 << 12,
+        wide_rounds_secondary=((1.0, 16), (0.5, 8), (0.08, 8), (1.0 / 64, 32)),
+        wide_rounds_any_secondary=RenderConfig.wide_rounds_any,
+    )
+    desc = SceneDescription(camera_fov_deg=90.0)
+    rng = np.random.default_rng(7)
+    desc.set_sky(rng.uniform(0.2, 0.8, (256, 3)).astype(np.float32), 16)
+    glass = desc.add_sphere((0.6, 0.8, 4.5), 1.0)
+    desc.material(glass).diffuse = np.array([0.1, 0.1, 0.05])
+    desc.material(glass).reflection = np.array([0.3, 0.3, 0.3])
+    desc.material(glass).transmittance = np.array([0.7, 0.8, 0.9])
+    desc.material(glass).index_of_refraction = 1.5
+    floor = desc.add_plane((0.0, -1.0, 0.0))
+    ch = np.indices((16, 16)).sum(0) % 2
+    desc.material(floor).texture_array = np.stack(
+        [0.3 + 0.5 * ch] * 3, -1).astype(np.float32)
+    ico = meshgen.icosphere(0.7, 1)
+    for m in ico.materials:
+        m.diffuse = np.array([0.5, 0.35, 0.2])
+        m.reflection = np.array([0.2, 0.2, 0.2])
+    desc.register_blas("ico", build_blas(ico, MeshAccelerator.BVH, cache_dir=None))
+    desc.add_instance("ico", (-1.6, 0.4, 5.0))
+    desc.point_lights.append(
+        PointLight(np.array([18.0, 16.0, 14.0]), np.array([2.0, 6.0, 2.0]))
+    )
+    desc.spot_lights.append(
+        SpotLight(colour=np.array([8.0, 3.0, 3.0]),
+                  position=np.array([-2.0, 5.0, 6.0]),
+                  direction=np.array([0.3, -1.0, -0.2]),
+                  inner_angle_deg=35.0, outer_angle_deg=55.0)
+    )
+    desc.camera.position = np.array([0.0, 0.8, 0.0])
+    scene = pack_scene(desc, cfg.width, cfg.height)
+
+    # the pipeline must actually exercise what it claims: secondary rays exist,
+    # the tight queue compacts (candidates exceed capacity headroom), no loss
+    img, stats = jax.jit(lambda s: renderer.render_with_stats(s, cfg))(scene)
+    assert int(stats.num_dropped) == 0 and int(stats.num_incomplete) == 0
+    assert int(stats.num_reflection) > 0 and int(stats.num_refraction) > 0
+
+    w = jnp.sin(jnp.arange(img.size, dtype=jnp.float32)).reshape(img.shape)
+
+    def loss(field, v):
+        s2 = apply_params(scene, {field: v})
+        im, _ = renderer.render_with_stats(s2, cfg)
+        return jnp.sum(im * w)
+
+    rng = np.random.default_rng(1)
+    for field, support_only, rtol in (
+        ("mat_diffuse", False, 0.08),
+        ("mat_transmittance", True, 0.10),
+        ("pl_colour", False, 0.08),
+    ):
+        base = getattr(scene, field).astype(jnp.float32)
+        grad = np.asarray(jax.grad(lambda v: loss(field, v))(base), np.float64)
+        direction = rng.normal(size=base.shape)
+        if support_only:
+            direction = direction * (np.abs(np.asarray(base)) > 0)
+        direction /= np.linalg.norm(direction)
+        d = jnp.asarray(direction, jnp.float32)
+        eps = 3e-3
+        fd = (float(loss(field, base + eps * d))
+              - float(loss(field, base - eps * d))) / (2 * eps)
+        ad = float(np.sum(grad * direction))
+        assert np.isfinite(fd) and np.isfinite(ad)
+        np.testing.assert_allclose(
+            ad, fd, rtol=rtol, atol=2e-2 * max(1.0, abs(fd)),
+            err_msg=f"production-path grad mismatch for {field}",
+        )
