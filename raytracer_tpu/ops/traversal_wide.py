@@ -340,25 +340,79 @@ def _round_up(n, mult):
     return (n + mult - 1) // mult * mult
 
 
+_STATE_KEYS = ("cur", "sp", "ovf", "found", "t_best", "best", "steps")
+
+
+def _pack_cols(state, stack):
+    """Pack the traversal state dict + stack into ONE [N, S+K] int32 matrix.
+
+    A [N] row gather costs a FIXED ~13 ns/lane for any row width up to ~80
+    floats (PERF.md step-cost attribution), so one wide-row gather moves the
+    whole per-lane state for the price the old code paid PER ARRAY.  Floats
+    ride as exact bit patterns (bitcast i32 — safe: int arrays are never
+    canonicalized; the f32-carrying-int hazard of PERF.md does not apply in
+    this direction), bools as 0/1."""
+    cols = [stack]
+    for k in _STATE_KEYS:
+        if k not in state:
+            continue
+        v = state[k]
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.int32)
+        elif v.dtype != jnp.int32:
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        cols.append(v[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_cols(packed, stack_size: int, any_hit: bool, track_steps: bool):
+    stack = packed[:, :stack_size]
+    s = {}
+    i = stack_size
+
+    def col():
+        nonlocal i
+        c = packed[:, i]
+        i += 1
+        return c
+
+    s["cur"] = col()
+    s["sp"] = col()
+    s["ovf"] = col().astype(jnp.bool_)
+    if any_hit:
+        s["found"] = col().astype(jnp.bool_)
+    else:
+        s["t_best"] = jax.lax.bitcast_convert_type(col(), jnp.float32)
+        s["best"] = col()
+    if track_steps:
+        s["steps"] = col()
+    return s, stack
+
+
 def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool,
                 root: int = 0):
     """Straggler ladder (see ops/traversal.py): statically-bounded rounds over
     geometrically smaller compacted wavefronts.
 
-    Round 0 may itself have frac < 1.0: the wavefront is then compacted to the
-    ALIVE lanes (inactive rays are EXIT from birth) before any iteration runs —
-    the cheap-first-compaction shape used for shadow wavefronts where a large
-    fraction of lanes is culled before traversal (back-facing / zero-contribution,
-    renderer.py).  Because nothing has run yet at round 0, the compacted
-    sub-state is REBUILT fresh (stack of zeros, sp=0, root entries) instead of
-    gathered — only the ray arrays (and the closest-hit t seed) pay a gather,
-    cutting the dominant boundary's per-lane op count roughly in half
-    (compaction cost itemization, PERF.md round 4)."""
+    Boundary cost discipline (PERF.md round 4 itemization):
+      - per-lane state crosses each boundary as ONE packed int32 row
+        (_pack_cols) and the ray as one f32 row — 2 gathers + 1 scatter per
+        boundary instead of one op per array (~16), at the platform's fixed
+        ~13 ns/lane-per-gather-op cost;
+      - round 0 with frac < 1.0 (the shadow contribution-cull shape,
+        renderer.py) REBUILDS the compacted sub-state fresh (stack of zeros,
+        root entries) — bit-identical to gathering the untouched state, so the
+        dominant boundary pays only the ray-row gather;
+      - the final round scatters back only the packed row (results are
+        extracted from it); sub-stack write-back is skipped everywhere the
+        next boundary re-packs anyway."""
     n = state["cur"].shape[0]
     rounds = cfg.wide_rounds_any if any_hit else cfg.wide_rounds
     from ..config import TraversalStrategy
 
     ordered = cfg.traversal_strategy == TraversalStrategy.ORDERED
+    track_steps = "steps" in state
+    stack_size = stack.shape[1]
 
     def run(s, stk, ow, dw, tf, iters):
         rays_t = (_t(ow), _t(dw))
@@ -369,44 +423,53 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool,
 
         return jax.lax.fori_loop(0, iters, body, (s, stk), unroll=cfg.traversal_unroll)
 
+    # [N, 6/7] f32 ray rows: one gather moves o+d(+t_max) across a boundary
+    ray_cols = [o_w, d_w]
+    if t_fixed is not None:
+        ray_cols.append(t_fixed[:, None])
+    ray_pack = jnp.concatenate(ray_cols, axis=1)
+
+    packed = None  # authoritative packed state once the first boundary runs
     for ri, (frac, iters) in enumerate(rounds):
-        last = ri == len(rounds) - 1
         m = _round_up(max(int(round(n * frac)), 256), _LANES)
         if (ri == 0 and frac >= 1.0) or m >= n:
+            assert packed is None  # full rounds only occur as a prefix
             state, stack = run(state, stack, o_w, d_w, t_fixed, iters)
             continue
-        alive = _alive(state, any_hit)
+        if packed is None:
+            alive = _alive(state, any_hit)
+        else:
+            cur = packed[:, stack_size]
+            alive = cur != EXIT
+            if any_hit:
+                alive = alive & (packed[:, stack_size + 3] == 0)  # ~found
         sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
+        rp = ray_pack[sel]
+        ow, dw = rp[:, 0:3], rp[:, 3:6]
+        tf = rp[:, 6] if t_fixed is not None else None
         if ri == 0:
             # fresh sub-state: slots [0, n_alive) of a round-0 compaction hold
             # exactly the alive lanes (stable compaction of untouched state), so
             # re-init with root entries reproduces the gathered state bit-for-bit
             n_alive = jnp.sum(alive.astype(jnp.int32))
             sub_active = jnp.arange(m, dtype=jnp.int32) < n_alive
-            t_seed = t_fixed[sel] if any_hit else state["t_best"][sel]
+            t_seed = tf if any_hit else state["t_best"][sel]
             sub = _init_state(
-                t_seed, sub_active, root, any_hit, track_steps="steps" in state
+                t_seed, sub_active, root, any_hit, track_steps=track_steps
             )
-            sub_stack = jnp.zeros((m, stack.shape[1]), jnp.int32)
+            sub_stack = jnp.zeros((m, stack_size), jnp.int32)
         else:
-            sub = {k: v[sel] for k, v in state.items()}
-            sub_stack = stack[sel]
-        sub, sub_stack = run(
-            sub,
-            sub_stack,
-            o_w[sel],
-            d_w[sel],
-            t_fixed[sel] if t_fixed is not None else None,
-            iters,
-        )
-        if last:
-            # nothing after the ladder reads sp/stack — skip their write-backs
-            sub.pop("sp")
-        state = {
-            **state, **{k: state[k].at[sel].set(v) for k, v in sub.items()}
-        }
-        if not last:
-            stack = stack.at[sel].set(sub_stack)
+            if packed is None:  # first boundary after a full-round prefix
+                packed = _pack_cols(state, stack)  # linear stream, no gathers
+            sub, sub_stack = _unpack_cols(
+                packed[sel], stack_size, any_hit, track_steps
+            )
+        if packed is None:
+            packed = _pack_cols(state, stack)
+        sub, sub_stack = run(sub, sub_stack, ow, dw, tf, iters)
+        packed = packed.at[sel].set(_pack_cols(sub, sub_stack))
+    if packed is not None:
+        state, _stack = _unpack_cols(packed, stack_size, any_hit, track_steps)
     return state
 
 
