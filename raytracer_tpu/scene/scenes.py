@@ -255,11 +255,17 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         wide_rounds_secondary=(
             (1.0, 16), (0.5, 8), (0.08, 8), (1.0 / 64, 32), (1.0 / 256, 192),
         ),
-        # secondary shadow wavefronts can exceed the 50% round-0 cull
-        # assumption of the camera-tuned any ladder above on unmeasured camera
-        # poses; give them the default full-round-0 ladder (costs ~0 within
-        # frame-time noise, removes the starvation hazard)
-        wide_rounds_any_secondary=RenderConfig.wide_rounds_any,
+        # secondary shadow wavefronts are 11-14% active (queue occupancy x
+        # contribution cull, measured eagerly per generation at 240x136 and
+        # 480x270, scratch round 4) — a full round 0 paid 8 iterations over
+        # 100% of lanes.  Round-0 capacity 0.25 carries ~1.8x headroom over
+        # the measured worst generation; decay fractions follow the primary
+        # shadow survival curve (~40% per 8 iterations).  Starvation on an
+        # unmeasured pose surfaces as num_incomplete (bench flags LOSSY,
+        # goldens assert 0).
+        wide_rounds_any_secondary=(
+            (0.25, 8), (0.1, 8), (1.0 / 48, 24), (1.0 / 512, 96),
+        ),
     )
     return desc, cfg
 
