@@ -21,7 +21,7 @@ from ..config import MeshAccelerator
 from ..scene.meshgen import MeshData
 from .bvh import BVH, build_bvh, triangle_bounds
 
-_BUILDER_VERSION = 7  # bump to invalidate cached BVHs
+_BUILDER_VERSION = 8  # v8: SAH-DP wide collapse  # bump to invalidate cached BVHs
 
 
 @dataclasses.dataclass

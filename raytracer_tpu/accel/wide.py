@@ -77,6 +77,82 @@ def _surface_area(bmin, bmax):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
+def _dp_slot_partition(node_left, node_count, sa):
+    """SAH-cost-optimal 8-wide collapse partition (Ylitie et al. 2017 §4.1,
+    specialized to this hardware's cost model).
+
+    On this TPU every slot — wide-node record or 8-triangle leaf record —
+    costs exactly ONE fat gather when a ray hits its box (PERF.md: fixed
+    ~13 ns/lane per gather op, any row width), so the expected traversal cost
+    of a collapse is simply  sum over slots of SA(slot) / SA(root).  The DP
+    minimizes that directly:
+
+      cost[i][j] = min cost of representing binary subtree i using j child
+                   slots of its parent's wide node
+      leaf:      cost[i][j] = SA(i)                      (indivisible record)
+      internal:  cost[i][1] = SA(i) + cost[i][8]         (create a wide node)
+                 cost[i][j] = min( cost[i][1],
+                                   min_{a+b=j} cost[l][a] + cost[r][b] )
+
+    Returns (slots_of, node_cost): ``slots_of(i)`` yields the binary-node ids
+    occupying the 8 slots of the wide node created at binary node i."""
+    n = node_left.shape[0]
+    is_leaf = node_count > 0
+    INF = np.float64(np.inf)
+    cost = np.full((n, 9), INF)
+    # split[i][j]: 0 = subtree i occupies ONE slot; a in 1..j-1 = distribute
+    # (a, j-a) over i's two children.  dsplit[i] = the pure-distribution argmin
+    # for j=8, used when a wide node is MATERIALIZED at i (its own contents
+    # must be distributed, never re-noded).
+    split = np.zeros((n, 9), np.int8)
+    dsplit = np.zeros((n,), np.int8)
+    for i in range(n - 1, -1, -1):  # DFS pre-order: children after parent
+        if is_leaf[i]:
+            cost[i, 1:] = sa[i]
+            continue
+        l = int(node_left[i])
+        r = l + 1
+        d = np.full(9, INF)
+        for j in range(2, 9):
+            best, arg = INF, 1
+            for a in range(1, j):
+                c = cost[l, a] + cost[r, j - a]
+                if c < best:
+                    best, arg = c, a
+            d[j] = best
+            split[i, j] = arg
+        dsplit[i] = split[i, 8]
+        one = sa[i] + d[8]
+        cost[i, 1] = one
+        for j in range(2, 9):
+            if one < d[j]:
+                cost[i, j] = one
+                split[i, j] = 0
+            else:
+                cost[i, j] = d[j]
+
+    def slots_of(i):
+        """Binary-node ids filling the 8 slots of the wide node created at i."""
+        out = []
+
+        def resolve(b, j):
+            if j == 1 or is_leaf[b] or split[b, j] == 0:
+                out.append(b)
+                return
+            a = int(split[b, j])
+            l = int(node_left[b])
+            resolve(l, a)
+            resolve(l + 1, j - a)
+
+        a = int(dsplit[i])
+        l = int(node_left[i])
+        resolve(l, a)
+        resolve(l + 1, 8 - a)
+        return out
+
+    return slots_of, cost
+
+
 def collapse8(
     node_min: np.ndarray,
     node_max: np.ndarray,
@@ -85,16 +161,22 @@ def collapse8(
     leaf_kind: np.ndarray,
     leaf_payload: np.ndarray,
     leaf_fb: np.ndarray,
+    strategy: str = "sah",
 ) -> WideBVH:
     """Collapse a binary BVH (bvh.py layout: root 0, children in pairs) to 8-wide.
 
     ``leaf_kind/payload/fb`` give, per binary node index, the child-slot encoding to
     emit when that binary node is a leaf — the caller decides what a leaf means
     (triangle record for a BLAS, instance entry for the TLAS).
+    ``strategy``: "sah" = cost-optimal DP partition (_dp_slot_partition);
+    "greedy" = largest-surface-area pull-up (kept for ablation).
     """
     is_leaf = node_count > 0
     sa = _surface_area(node_min, node_max)
     n_bin = node_left.shape[0]
+    slots_dp = None
+    if strategy == "sah" and not is_leaf[0]:
+        slots_dp, _cost = _dp_slot_partition(node_left, node_count, sa)
 
     def leaf_slot(b):
         return (
@@ -122,17 +204,20 @@ def collapse8(
         while stack:
             b, w, dep = stack.pop()
             depth = max(depth, dep)
-            group = [int(node_left[b]), int(node_left[b]) + 1]
-            while len(group) < 8:
-                # expand the internal child with the largest surface area
-                best_i, best_sa = -1, -1.0
-                for i, c in enumerate(group):
-                    if not is_leaf[c] and sa[c] > best_sa:
-                        best_i, best_sa = i, sa[c]
-                if best_i < 0:
-                    break
-                c = group.pop(best_i)
-                group.extend([int(node_left[c]), int(node_left[c]) + 1])
+            if slots_dp is not None:
+                group = slots_dp(b)
+            else:
+                group = [int(node_left[b]), int(node_left[b]) + 1]
+                while len(group) < 8:
+                    # expand the internal child with the largest surface area
+                    best_i, best_sa = -1, -1.0
+                    for i, c in enumerate(group):
+                        if not is_leaf[c] and sa[c] > best_sa:
+                            best_i, best_sa = i, sa[c]
+                    if best_i < 0:
+                        break
+                    c = group.pop(best_i)
+                    group.extend([int(node_left[c]), int(node_left[c]) + 1])
             slots = []
             for c in group:
                 if is_leaf[c]:

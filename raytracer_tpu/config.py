@@ -109,6 +109,9 @@ class RenderConfig:
         (1.0 / 32, 256),
         (1.0 / 256, 2048),
     )
+    # A/B knob: sort compacted ladder sub-wavefronts by ray octant (gather
+    # locality experiment — PERF.md bounds the win <2x; measured in round 4).
+    ladder_sort_octant: bool = False
     # unroll factor of the inner fori_loop (amortizes loop overhead; measured
     # scratch/bench_stack_cost.py on Sponza-class closest: unroll=2 is -8%
     # ns/ray, unroll=4 regresses — the sweet spot is 2)

@@ -443,7 +443,20 @@ def _run_rounds(bvh, state, stack, o_w, d_w, t_fixed, cfg, any_hit: bool,
             alive = cur != EXIT
             if any_hit:
                 alive = alive & (packed[:, stack_size + 3] == 0)  # ~found
-        sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
+        if getattr(cfg, "ladder_sort_octant", False):
+            # A/B knob (PERF.md): order the compacted sub-wavefront by ray
+            # octant so neighbouring lanes walk similar subtrees — trades an
+            # O(N log N) argsort for potential gather locality in the rounds
+            oct_key = (
+                (o_w[:, 0] * 0).astype(jnp.int32)  # shape anchor
+                | (d_w[:, 0] > 0).astype(jnp.int32)
+                | ((d_w[:, 1] > 0).astype(jnp.int32) << 1)
+                | ((d_w[:, 2] > 0).astype(jnp.int32) << 2)
+            )
+            key = jnp.where(alive, oct_key, 16)  # dead lanes last
+            sel = jnp.argsort(key, stable=True)[:m].astype(jnp.int32)
+        else:
+            sel = compaction.compact_indices(alive, m)  # stable: alive first, O(N)
         rp = ray_pack[sel]
         ow, dw = rp[:, 0:3], rp[:, 3:6]
         tf = rp[:, 6] if t_fixed is not None else None

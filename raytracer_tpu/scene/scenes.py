@@ -240,13 +240,13 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     cfg = RenderConfig(
         width=width, height=height, num_bounces=3, queue_factor=(0.09375,),
         mesh_accelerator=accelerator,
-        # shadow ladder tuned to THIS scene's measured post-cull aliveness
-        # (scratch/aliveness.py @960x540: active0 39.5%, 16% alive @8 wide
-        # iterations, 0.87% @16, ~0 @32): round 0 compacts the wavefront to the
-        # contribution-culled lanes BEFORE any iteration (renderer.py culls
-        # back-facing / out-of-cone / zero-albedo lanes -> 39% stay active).
-        # Effective cost ~6.5 full-wavefront iterations vs 12.2 default.
-        wide_rounds_any=((0.5, 8), (0.2, 8), (1.0 / 32, 16), (1.0 / 256, 96)),
+        # shadow ladder tuned to THIS scene's measured post-cull aliveness on
+        # the SAH-collapsed tree (scratch/aliveness.py @960x540: active0 34.6%,
+        # 15.6% alive @8 wide iterations, 0.70% @16, ~0 @32), with capacities
+        # validated at 1080p where activity/decay run slightly hotter than the
+        # 960x540 curve (round-4 sweep: (0.5,8),(0.2,8) capacities starved
+        # ~4.2k lanes at 1080p; these leave incomplete == 0 at 2.24 s fwd):
+        wide_rounds_any=((0.55, 8), (0.25, 8), (1.0 / 24, 16), (1.0 / 192, 96)),
         # Secondary closest rays walk longer than camera primaries AND their
         # queue is tight (66% active at 3/32 capacity), so the primary ladder's
         # 1/16 round-2 starves them (measured secondary aliveness of capacity,
@@ -255,17 +255,13 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         wide_rounds_secondary=(
             (1.0, 16), (0.5, 8), (0.08, 8), (1.0 / 64, 32), (1.0 / 256, 192),
         ),
-        # secondary shadow wavefronts are 11-14% active (queue occupancy x
-        # contribution cull, measured eagerly per generation at 240x136 and
-        # 480x270, scratch round 4) — a full round 0 paid 8 iterations over
-        # 100% of lanes.  Round-0 capacity 0.25 carries ~1.8x headroom over
-        # the measured worst generation; decay fractions follow the primary
-        # shadow survival curve (~40% per 8 iterations).  Starvation on an
-        # unmeasured pose surfaces as num_incomplete (bench flags LOSSY,
-        # goldens assert 0).
-        wide_rounds_any_secondary=(
-            (0.25, 8), (0.1, 8), (1.0 / 48, 24), (1.0 / 512, 96),
-        ),
+        # secondary shadow wavefronts measured 11-14% active at small
+        # resolutions, but 1080p runs much hotter (round-4 sweep: round-0
+        # capacities 0.25 / 0.35 starved 45k / 5k lanes at 1080p; the default
+        # ladder leaves incomplete == 0) — the full-round-0 default is the
+        # honest setting; its dead-lane cost is bounded by the small
+        # secondary queues (3/32 n).
+        wide_rounds_any_secondary=RenderConfig.wide_rounds_any,
     )
     return desc, cfg
 
@@ -368,7 +364,23 @@ def config4_dynamic(width: int = 900, height: int = 600,
     )
     desc.camera.position = np.array([-4.694016, 6.446100, -0.572288])
     desc.camera.rotation = np.array([0.268476, 0.423740, -0.133092, 0.854779])
-    cfg = RenderConfig(width=width, height=height, num_bounces=3, queue_factor=1.0,
+    # Scene-tuned wavefront sizing (measured per-generation activity at
+    # 225x150, frame 0, scratch round 4): bounce-1 children are 87.5% of n
+    # (the textured floor reflects everywhere), bounce-2/3 only 9.7%/8.0%;
+    # primary shadows 55.6% post-cull, secondary shadows 1.4-2.8%.  The
+    # animated scene drifts, so capacities carry ~2x headroom and every
+    # violation surfaces as num_dropped/num_incomplete (asserted 0 by the
+    # config4 golden; printed per frame by app.py / bench_dynamic).
+    # scan_bounces off: a shared queue would run bounces 2-3 at the bounce-1
+    # capacity (1.0 n) for ~9% activity; the unrolled pipeline sizes each.
+    cfg = RenderConfig(width=width, height=height, num_bounces=3,
+                       queue_factor=(1.0, 0.2, 0.15), scan_bounces=False,
+                       wide_rounds_any=(
+                           (0.65, 8), (0.2, 8), (1.0 / 32, 16), (1.0 / 256, 96),
+                       ),
+                       wide_rounds_any_secondary=(
+                           (0.08, 8), (1.0 / 32, 16), (1.0 / 512, 96),
+                       ),
                        mesh_accelerator=accelerator)
     return desc, cfg
 
