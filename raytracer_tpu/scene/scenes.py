@@ -262,6 +262,11 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         # honest setting; its dead-lane cost is bounded by the small
         # secondary queues (3/32 n).
         wide_rounds_any_secondary=RenderConfig.wide_rounds_any,
+        # octant-sorted ladder compaction: coherent sub-wavefronts walk the
+        # same subtrees, so the per-iteration record gathers hit overlapping
+        # rows — measured -6.5% whole-frame at 1080p, image bit-identical
+        # (round-4 A/B; the stable sort preserves determinism)
+        ladder_sort_octant=True,
     )
     return desc, cfg
 
@@ -381,6 +386,7 @@ def config4_dynamic(width: int = 900, height: int = 600,
                        wide_rounds_any_secondary=(
                            (0.08, 8), (1.0 / 32, 16), (1.0 / 512, 96),
                        ),
+                       ladder_sort_octant=True,
                        mesh_accelerator=accelerator)
     return desc, cfg
 
