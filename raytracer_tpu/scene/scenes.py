@@ -240,6 +240,12 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     cfg = RenderConfig(
         width=width, height=height, num_bounces=3, queue_factor=(0.09375,),
         mesh_accelerator=accelerator,
+        # chunk-size sweep at 1080p with packed boundaries + octant sort
+        # (round 4): 2^17 fwd+bwd 3.29 s, 2^16 2.77 s, 2^15 3.11 s — the
+        # smaller wavefront's working set plus purer octant groups beat the
+        # extra per-chunk fixed cost at 32 chunks, and 2^15's 64 chunks lose
+        # to dispatch overhead
+        traversal_chunk=1 << 16,
         # shadow ladder tuned to THIS scene's measured post-cull aliveness on
         # the SAH-collapsed tree (scratch/aliveness.py @960x540: active0 34.6%,
         # 15.6% alive @8 wide iterations, 0.70% @16, ~0 @32), with capacities
