@@ -384,13 +384,18 @@ def config4_dynamic(width: int = 900, height: int = 600,
     # config4 golden; printed per frame by app.py / bench_dynamic).
     # scan_bounces off: a shared queue would run bounces 2-3 at the bounce-1
     # capacity (1.0 n) for ~9% activity; the unrolled pipeline sizes each.
+    # chunk/ladder capacities re-validated at 900x600 (round-4 sweep: chunk
+    # 2^15 + these capacities leave incomplete == 0 at 619 ms fwd; tighter
+    # secondary round-0 capacities starve under per-chunk activity variance
+    # at small chunks)
     cfg = RenderConfig(width=width, height=height, num_bounces=3,
                        queue_factor=(1.0, 0.2, 0.15), scan_bounces=False,
+                       traversal_chunk=1 << 15,
                        wide_rounds_any=(
-                           (0.65, 8), (0.2, 8), (1.0 / 32, 16), (1.0 / 256, 96),
+                           (0.75, 8), (0.25, 8), (1.0 / 24, 16), (1.0 / 192, 96),
                        ),
                        wide_rounds_any_secondary=(
-                           (0.08, 8), (1.0 / 32, 16), (1.0 / 512, 96),
+                           (0.2, 8), (1.0 / 16, 16), (1.0 / 256, 96),
                        ),
                        ladder_sort_octant=True,
                        mesh_accelerator=accelerator)
