@@ -95,6 +95,11 @@ class RenderConfig:
     # Rays per traversal chunk: bounds the stack memory of the wavefront traversal
     # (the analog of the reference's 32x32 tile decomposition, Window.h:32-33).
     traversal_chunk: int = 1 << 17
+    # True: chunk c takes pixels c, c+n_chunks, ... (uniform frame sample per
+    # chunk -> balanced queue load); False: contiguous row-blocks (spatial
+    # locality for the traversal gathers; dense blocks may overflow the
+    # scene-tuned queues -> num_dropped).  Measured per scene (PERF.md r4).
+    chunk_strided: bool = True
 
     # Straggler ladder for the stackless traversal (ops/traversal.py): rounds of
     # (wavefront fraction, statically-bounded iterations).  Round 0 runs every ray;

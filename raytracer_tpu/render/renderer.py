@@ -612,12 +612,25 @@ def _shade_generation(
     return fb, cand, stats
 
 
-def _compact(cand: dict, capacity: int):
+def _compact(cand: dict, capacity: int, sort_octant: bool = False):
     """Stable-compact active child candidates into a fixed-capacity queue."""
     flags = cand["active"]
-    # stable O(N) partition: actives first in order; overflow slots repeat one
-    # inactive lane (inert: weight only lands where sel["active"] is True)
-    sel = compaction.compact_indices(flags, capacity)
+    if sort_octant:
+        # order the queue by child-direction octant: the secondary ladders'
+        # full-width round 0 then walks coherent sub-wavefronts (same gather
+        # locality win as the ladder-boundary sort, traversal_wide.py)
+        d = cand["direction"]
+        key = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] > 0).astype(jnp.int32) << 2)
+        )
+        key = jnp.where(flags, key, 16)
+        sel = jnp.argsort(key, stable=True)[:capacity].astype(jnp.int32)
+    else:
+        # stable O(N) partition: actives first in order; overflow slots repeat
+        # one inactive lane (inert: weight only lands where sel["active"] True)
+        sel = compaction.compact_indices(flags, capacity)
     out = {k: v[sel] for k, v in cand.items()}
     n_active = jnp.sum(flags.astype(jnp.int32))
     # capacity > n_active slots hold compact_indices' fallback lane, which is
@@ -710,7 +723,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
         # every unrolled per-bounce capacity even for non-decreasing tuples —
         # the scan path can then only drop FEWER rays than the unrolled loop
         capacity = max(min(int(round(n * max(factors))), 2 * n), 64)
-        sel, dropped = _compact(cand, capacity)
+        sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = gen_from_sel(sel)
 
@@ -720,7 +733,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
                 scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last,
                 secondary=True, tex4=tex4,
             )
-            sel, dropped = _compact(cand, capacity)
+            sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
             stats = stats._replace(num_dropped=stats.num_dropped + dropped)
             return (gen_from_sel(sel), fb, stats), None
 
@@ -738,7 +751,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
             break
         f = factors[min(bounce, len(factors) - 1)]
         capacity = max(min(int(round(n * f)), 2 * gen.pixel.shape[0]), 64)
-        sel, dropped = _compact(cand, capacity)
+        sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = gen_from_sel(sel)
 
@@ -788,7 +801,14 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
     idx = jnp.concatenate(
         [pixel_idx, jnp.full((padded - n,), -1, pixel_idx.dtype)]
     )
-    idx_chunks = idx.reshape(chunk, n_chunks).T  # [n_chunks, chunk], strided
+    if cfg.chunk_strided:
+        idx_chunks = idx.reshape(chunk, n_chunks).T  # [n_chunks, chunk], strided
+    else:
+        # contiguous row-blocks: adjacent pixels share a chunk, so primary
+        # rays (and their children) walk overlapping subtrees — trades the
+        # strided layout's load balance for gather locality; per-chunk queue
+        # overflow on geometry-dense blocks surfaces as num_dropped
+        idx_chunks = idx.reshape(n_chunks, chunk)
 
     # save-named policy: traversal outputs ("trace": discrete, stop_gradient'd —
     # see trace_scene/intersect_scene) AND per-lane gather results ("gather":
