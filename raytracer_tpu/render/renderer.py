@@ -612,25 +612,20 @@ def _shade_generation(
     return fb, cand, stats
 
 
-def _compact(cand: dict, capacity: int, sort_octant: bool = False):
-    """Stable-compact active child candidates into a fixed-capacity queue."""
+def _compact(cand: dict, capacity: int):
+    """Stable-compact active child candidates into a fixed-capacity queue.
+
+    Deliberately NOT octant-sorted (unlike the ladder boundaries,
+    traversal_wide._run_rounds): sorting the queue reorders which dead-branch
+    candidate data (TIR refraction differentials etc.) flows through the next
+    generation's unselected where-branches, and their derivative chains
+    NaN-poison camera/ior gradients (0 x inf) — measured round 4, worth only
+    ~2% forward.  The ladder-boundary sort operates strictly inside
+    stop_gradient'd traversal and keeps the locality win safely."""
     flags = cand["active"]
-    if sort_octant:
-        # order the queue by child-direction octant: the secondary ladders'
-        # full-width round 0 then walks coherent sub-wavefronts (same gather
-        # locality win as the ladder-boundary sort, traversal_wide.py)
-        d = cand["direction"]
-        key = (
-            (d[:, 0] > 0).astype(jnp.int32)
-            | ((d[:, 1] > 0).astype(jnp.int32) << 1)
-            | ((d[:, 2] > 0).astype(jnp.int32) << 2)
-        )
-        key = jnp.where(flags, key, 16)
-        sel = jnp.argsort(key, stable=True)[:capacity].astype(jnp.int32)
-    else:
-        # stable O(N) partition: actives first in order; overflow slots repeat
-        # one inactive lane (inert: weight only lands where sel["active"] True)
-        sel = compaction.compact_indices(flags, capacity)
+    # stable O(N) partition: actives first in order; overflow slots repeat
+    # one inactive lane (inert: weight only lands where sel["active"] True)
+    sel = compaction.compact_indices(flags, capacity)
     out = {k: v[sel] for k, v in cand.items()}
     n_active = jnp.sum(flags.astype(jnp.int32))
     # capacity > n_active slots hold compact_indices' fallback lane, which is
@@ -723,7 +718,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
         # every unrolled per-bounce capacity even for non-decreasing tuples —
         # the scan path can then only drop FEWER rays than the unrolled loop
         capacity = max(min(int(round(n * max(factors))), 2 * n), 64)
-        sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
+        sel, dropped = _compact(cand, capacity)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = gen_from_sel(sel)
 
@@ -733,7 +728,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
                 scene, bvh, gen, fb, True, cfg, stats, spawn_mask=~is_last,
                 secondary=True, tex4=tex4,
             )
-            sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
+            sel, dropped = _compact(cand, capacity)
             stats = stats._replace(num_dropped=stats.num_dropped + dropped)
             return (gen_from_sel(sel), fb, stats), None
 
@@ -751,7 +746,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
             break
         f = factors[min(bounce, len(factors) - 1)]
         capacity = max(min(int(round(n * f)), 2 * gen.pixel.shape[0]), 64)
-        sel, dropped = _compact(cand, capacity, cfg.ladder_sort_octant)
+        sel, dropped = _compact(cand, capacity)
         stats = stats._replace(num_dropped=stats.num_dropped + dropped)
         gen = gen_from_sel(sel)
 
