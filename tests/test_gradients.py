@@ -378,3 +378,28 @@ def test_grad_fd_production_secondary_path():
             ad, fd, rtol=rtol, atol=2e-2 * max(1.0, abs(fd)),
             err_msg=f"production-path grad mismatch for {field}",
         )
+
+
+def test_grad_finite_under_config3_flags():
+    """Gradients must stay finite under the EXACT production config3 flags
+    (octant-sorted ladders, scene-tuned queues/ladders, SAH tree).  Round-4
+    regression: a bounce-queue octant sort passed every default-flag gradient
+    test yet NaN-poisoned camera/ior gradients through dead-lane where-branch
+    derivative chains — only the sharded dryrun caught it.  This pins the
+    production flag combination in CI."""
+    from raytracer_tpu.scene import scenes
+    from raytracer_tpu.scene.device import ScenePacker
+    from raytracer_tpu.diff.train import render_loss, extract_params
+
+    desc, cfg = scenes.config3_sponza(96, 54, target_triangles=5_000)
+    cfg = cfg.replace(traversal_chunk=1 << 12)
+    assert cfg.ladder_sort_octant  # the flag under test is actually on
+    scene = ScenePacker(desc, cfg.width, cfg.height).frame()
+    params = extract_params(scene)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    grads = jax.grad(render_loss)(params, scene, target, cfg)
+    for k, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite grad: {k}"
+    # and the loss itself is sane
+    loss = float(render_loss(params, scene, target, cfg))
+    assert np.isfinite(loss) and loss > 0
