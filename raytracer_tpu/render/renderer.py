@@ -824,7 +824,11 @@ def render_pixels(scene, cfg: RenderConfig, pixel_idx):
         )
 
     fb_c, stats_c = jax.lax.map(body, idx_chunks)
-    fb = fb_c.transpose(1, 0, 2).reshape(padded, 3)[:n]
+    if cfg.chunk_strided:
+        # invert the strided layout: chunk c's slot k holds pixel k*n_chunks+c
+        fb = fb_c.transpose(1, 0, 2).reshape(padded, 3)[:n]
+    else:
+        fb = fb_c.reshape(padded, 3)[:n]
     stats = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), stats_c)
     return fb, stats
 

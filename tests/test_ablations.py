@@ -76,3 +76,31 @@ def test_round0_compaction_ladder(monkey_scene):
     assert int(st_b.num_incomplete) == 0
     bad = np.abs(img_a - img_b).max(-1) > 1e-5
     assert bad.mean() < 1e-3, f"{bad.sum()} pixels differ"
+
+
+def test_octant_sorted_ladder_is_result_invariant(monkey_scene):
+    """Octant-sorting compacted ladder sub-wavefronts (cfg.ladder_sort_octant,
+    the round-4 gather-locality win) must reproduce the unsorted ladder's
+    image EXACTLY: per-lane traversal state evolution is order-invariant and
+    the stable sort keeps determinism."""
+    scene, cfg = monkey_scene
+    base = cfg.replace(traversal_kernel="wide")
+    img_a, st_a = _render(scene, base)
+    img_b, st_b = _render(scene, base.replace(ladder_sort_octant=True))
+    assert int(st_b.num_incomplete) == int(st_a.num_incomplete) == 0
+    np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_chunk_layout_is_radiance_invariant(monkey_scene):
+    """Strided vs contiguous chunk assignment (cfg.chunk_strided) changes only
+    WHICH pixels share a chunk; with no queue drops the rendered radiance per
+    pixel must agree (per-lane pipelines are independent; float order within a
+    pixel's own generation is unchanged)."""
+    scene, cfg = monkey_scene
+    base = cfg.replace(traversal_kernel="wide", traversal_chunk=1 << 10,
+                       queue_factor=2.0)
+    img_a, st_a = _render(scene, base)
+    img_b, st_b = _render(scene, base.replace(chunk_strided=False))
+    assert int(st_a.num_dropped) == int(st_b.num_dropped) == 0
+    bad = np.abs(img_a - img_b).max(-1) > 1e-5
+    assert bad.mean() < 1e-3, f"{bad.sum()} pixels differ"
