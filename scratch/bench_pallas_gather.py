@@ -10,14 +10,14 @@ Two pallas strategies at the real table shape ([8W,72] f32, HBM-resident —
 
   1. `row-per-grid-step`: PrefetchScalarGridSpec + a (1,R) BlockSpec whose
      index_map reads the prefetched index vector — pallas's own pipeline
-     double-buffers the per-row DMAs.
+     double-buffers the per-row DMAs.  (Mosaic rejects this form: block rows
+     must be divisible by 8 — kept as the documented failure.)
   2. `block-loop`: G indices per grid step, manual `make_async_copy` per row
      with a 2-deep DMA pipeline inside the kernel.
 
 Baseline: `jnp.take(table, idx, axis=0)` exactly as traversal_wide.py issues it.
 """
 
-import functools
 import time
 
 import jax
