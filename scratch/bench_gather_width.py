@@ -2,7 +2,13 @@
 
 Validates the wide-BVH design premise: a [N] gather from [U, K] rows costs the
 same for K=12 (current binary node record) and K=64 (BVH8 record, 256 B).
+
+The extended sweep (round-4b row-width-cliff table in PERF.md: K = 72..320,
+incl. K=90 for the 10-wide arity question flagged by ADVICE r4) runs with
+`python bench_gather_width.py wide` — same N=1<<17 lanes / 64 chained
+iterations as the committed PERF.md numbers.
 """
+import sys
 import time
 
 import jax
@@ -21,8 +27,11 @@ def make_fn(k):
             acc, j = carry
             rows = jnp.take(table, j, axis=0)
             acc = acc + rows.sum(axis=1)
-            # data-dependent next index (defeats hoisting), stays in range
-            j = (j + rows[:, 0].astype(jnp.int32) + i) % U
+            # data-dependent next index (defeats hoisting), stays in range.
+            # Scale BEFORE the int cast: table values are in [0,1), so a bare
+            # cast would always be 0 and the trajectory would be fixed
+            # (ADVICE r4 on bench_pallas_chained).
+            j = (j + (rows[:, 0] * U).astype(jnp.int32) + i) % U
             return acc, j
 
         acc, j = jax.lax.fori_loop(
@@ -52,5 +61,11 @@ def measure(k, reps=3):
 
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}  N={N} U={U} iters={ITERS}")
-    for k in (8, 12, 16, 24, 32, 40, 48, 64, 80, 128):
+    if len(sys.argv) > 1 and sys.argv[1] == "wide":
+        # round-4b row-width-cliff sweep (PERF.md), + K=90 (a 10-wide node
+        # record: 10x(6 box + 3 meta) = 90 floats) per ADVICE r4
+        widths = (72, 90, 96, 128, 144, 192, 256, 320)
+    else:
+        widths = (8, 12, 16, 24, 32, 40, 48, 64, 80, 128)
+    for k in widths:
         measure(k)

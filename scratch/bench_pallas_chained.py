@@ -50,7 +50,7 @@ def pallas_gather(table, idx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // G,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # pl.ANY: the jax-0.9 alias (pltpu.ANY is deprecated)
         out_specs=pl.BlockSpec((G, RP), lambda i, idx_ref: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 1, RP), jnp.float32),
@@ -71,7 +71,11 @@ def make_fn(gather):
             acc, j = carry
             rows = gather(table, j)
             acc = acc + rows.sum(axis=1)
-            j = (j + rows[:, 0].astype(jnp.int32) + i) % T
+            # scale BEFORE the int cast: table values are in [0,1), so a bare
+            # cast is always 0 and the "chained" trajectory degenerates to
+            # j=(j+i)%T (ADVICE r4).  Scaling makes next indices genuinely
+            # depend on gathered data, not just on the dataflow edge.
+            j = (j + (rows[:, 0] * T).astype(jnp.int32) + i) % T
             return acc, j
 
         acc, j = jax.lax.fori_loop(0, ITERS, body, (jnp.zeros((N,), jnp.float32), idx))

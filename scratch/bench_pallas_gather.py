@@ -78,7 +78,7 @@ def main():
     )
     try:
         dt, got = bench(row_gather, tablep, idx)
-        ok = bool(jnp.allclose(got, refp))
+        ok = bool((got == refp).all())  # exact equality: rows are copied, not recomputed
         print(
             f"pallas row/step   : {dt*1e3:8.2f} ms  ({dt/N*1e9:6.2f} ns/lane)"
             f"  match={ok}"
@@ -116,7 +116,7 @@ def main():
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((G, RP), lambda i, idx_ref: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 1, RP), jnp.float32),
@@ -132,7 +132,7 @@ def main():
     )
     try:
         dt, got = bench(blk_gather, tablep, idx)
-        ok = bool(jnp.allclose(got, refp))
+        ok = bool((got == refp).all())  # exact equality: rows are copied, not recomputed
         print(
             f"pallas block DMA  : {dt*1e3:8.2f} ms  ({dt/N*1e9:6.2f} ns/lane)"
             f"  match={ok}"
