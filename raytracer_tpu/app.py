@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--heatmap", action="store_true",
                     help="BVH traversal-step heatmap render (Config.h:23)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--no-lossless-retry", action="store_true",
+        help="disable the same-frame lossless re-render when the frame's loss "
+        "counters (dropped/incomplete) are nonzero (render/renderer.py "
+        "RobustRenderer)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -58,7 +64,18 @@ def main(argv=None):
         packer = ScenePacker(desc, cfg.width, cfg.height)
     print(f"Scene contains {desc.triangle_count} triangles.")
 
-    render = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
+    if args.no_lossless_retry:
+        _render = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
+
+        def render(s):
+            img, stats = _render(s)
+            return img, stats, False
+    else:
+        # scene-tuned program + same-frame lossless retry on nonzero loss
+        # counters: camera poses whose workload exceeds the tuned queue/ladder
+        # capacities (e.g. dielectric closeups on the sponza fly-through) stay
+        # correct instead of silently dropping radiance
+        render = renderer.RobustRenderer(cfg)
     present = jax.jit(lambda img: renderer.present(img, cfg))
 
     os.makedirs(args.out, exist_ok=True)
@@ -66,7 +83,7 @@ def main(argv=None):
     for frame in range(args.frames):
         desc.update(args.dt)
         scene = packer.frame()
-        img, stats = render(scene)
+        img, stats, retried = render(scene)
         shown = present(img)
         # scalar readback: block_until_ready can return without blocking on
         # the tunneled TPU runtime (PERF.md round 3), which would make the
@@ -81,6 +98,7 @@ def main(argv=None):
                     "frame": frame,
                     "ms": round(delta * 1e3, 2),
                     "fps_avg": round(timer.fps, 2),
+                    "lossless_retry": retried,
                     **{k: round(v, 2) if isinstance(v, float) else v
                        for k, v in metrics.items()},
                 }

@@ -182,6 +182,16 @@ class RenderConfig:
     # contribution cull), so +normal is always the shadow-ray side.
     shadow_normal_offset: float = 0.0
 
+    # Mesh hit differential convention.  The reference computes dO/dN in OBJECT
+    # space and never rotates them by the instance world matrix
+    # (BottomLevelBVH.cpp:291-301; Mesh.cpp:23-28 transforms the incoming ray
+    # only) — arguably a bug for rotated instances, but it is the reference
+    # behavior.  False (default): rotate differentials to world space (correct
+    # under rigid instancing).  True: reference-compatible object-space
+    # differentials, letting the scalar oracle (render/oracle.py) and the
+    # wavefront renderer be compared under NON-identity instance rotations.
+    differentials_object_space: bool = False
+
     # Wavefront machinery (replaces SIMD_LANE_SIZE / tile scheduling; SURVEY.md 2.3).
     # Capacity of each secondary-ray generation as a fraction of the primary count.
     # A surface can spawn both a reflection and a refraction ray (Raytracer.cpp:249-316),

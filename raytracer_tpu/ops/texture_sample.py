@@ -112,8 +112,14 @@ def _top_texel(tex, tex_id):
     return _fetch_texel(tex, tex_id, zero, zero, levels[tex_id] - 1)
 
 
-def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4=None):
-    """PBRT-style trilinear LOD from the max abs derivative (Texture.cpp:189-204)."""
+def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4=None,
+                      base=None, top=None):
+    """PBRT-style trilinear LOD from the max abs derivative (Texture.cpp:189-204).
+
+    ``base``/``top`` (the level-0 bilinear and 1x1-mip fallbacks) can be passed
+    in by ``sample`` so their gather — and, in bwd, its atlas scatter-VJP — is
+    shared with the non-mipmapped fallback path instead of issued twice.
+    """
     _, _, _, levels, _, _ = tex
     lf = levels[tex_id].astype(jnp.float32)
     width = 2.0 * jnp.maximum(
@@ -129,15 +135,18 @@ def _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4=None)
     mixed = (1.0 - f) * _sample_bilinear(
         tex, tex_id, s, t, lo, data4
     ) + f * _sample_bilinear(tex, tex_id, s, t, hi, data4)
-    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
-    top = _top_texel(tex, tex_id)
+    if base is None:
+        base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
+    if top is None:
+        top = _top_texel(tex, tex_id)
     out = jnp.where((level < 0)[:, None], base, mixed)
     out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
     return out
 
 
 def _sample_anisotropic(
-    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, max_anisotropy: float, data4=None
+    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, max_anisotropy: float,
+    data4=None, base=None, top=None,
 ):
     """OpenGL-EXT-style anisotropic filtering (Texture.cpp:207-239): up to N probes
     along the major axis at a sharper mip level, statically unrolled and masked."""
@@ -170,8 +179,10 @@ def _sample_anisotropic(
         acc = acc + jnp.where(use[:, None], tap, 0.0)
     aniso = acc / n[:, None]
 
-    base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
-    top = _top_texel(tex, tex_id)
+    if base is None:
+        base = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
+    if top is None:
+        top = _top_texel(tex, tex_id)
     out = jnp.where((level < 0)[:, None], base, aniso)
     out = jnp.where((level >= levels[tex_id] - 1)[:, None], top, out)
     return out
@@ -187,7 +198,8 @@ def _ewa_weight(r2):
 
 
 def _sample_ewa(
-    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig, data4=None
+    tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg: RenderConfig, data4=None,
+    base=None, top=None,
 ):
     """Elliptical weighted average (Texture.cpp:242-337), bounded-window form."""
     _, width, height, levels, _, _ = tex
@@ -265,8 +277,11 @@ def _sample_ewa(
             wsum = wsum + wgt
     ewa = acc / jnp.maximum(wsum, 1e-20)[:, None]
 
-    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(level), data4)
-    top = _top_texel(tex, tex_id)
+    bil = base if base is not None else _sample_bilinear(
+        tex, tex_id, s, t, jnp.zeros_like(level), data4
+    )
+    if top is None:
+        top = _top_texel(tex, tex_id)
     out = jnp.where(degenerate[:, None], bil, ewa)
     out = jnp.where((too_big | at_top)[:, None], top, out)
     return out
@@ -302,17 +317,25 @@ def sample(
         return _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
 
     # MIPMAP: non-mipmapped textures (levels == 1) fall back to bilinear
-    # (Texture.h:37).
+    # (Texture.h:37).  The level-0 bilinear and the 1x1-mip top texel are
+    # computed ONCE and shared with the filter's out-of-range fallbacks: the
+    # filters' internal base/bil calls are argument-identical, and each
+    # deduplicated tap saves one atlas row gather in fwd plus one ~27 ns/lane
+    # scatter-add in the texture VJP (PERF.md scatter cost model).
     _, _, _, levels, _, _ = tex
+    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
+    top = _top_texel(tex, tex_id)
     if cfg.mipmap_filter == MipmapFilter.TRILINEAR:
-        mip = _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, data4)
+        mip = _sample_trilinear(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy,
+                                data4, base=bil, top=top)
     elif cfg.mipmap_filter == MipmapFilter.ANISOTROPIC:
         mip = _sample_anisotropic(
-            tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg.max_anisotropy, data4
+            tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg.max_anisotropy,
+            data4, base=bil, top=top,
         )
     else:
-        mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg, data4)
-    bil = _sample_bilinear(tex, tex_id, s, t, jnp.zeros_like(tex_id), data4)
+        mip = _sample_ewa(tex, tex_id, s, t, ds_dx, ds_dy, dt_dx, dt_dy, cfg,
+                          data4, base=bil, top=top)
     return jnp.where((levels[tex_id] > 1)[:, None], mip, bil)
 
 

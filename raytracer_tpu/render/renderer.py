@@ -26,7 +26,6 @@ Faithfulness notes (vs Raytracer.cpp:204-396):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -122,7 +121,8 @@ def generate_primary_rays(scene, cfg: RenderConfig) -> Rays:
 # ---------------------------------------------------------------------------
 
 
-def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -> Hits:
+def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits,
+                    object_space_diffs: bool = False) -> Hits:
     """Reconstruct differentiable hit attributes from discrete traversal ids.
 
     Re-derives (t, u, v) with Moller-Trumbore from the identified triangle so
@@ -199,15 +199,21 @@ def _mesh_hits_into(scene, rays: Rays, res: traversal.TraceResult, hits: Hits) -
     dv_dx = one_over_k * vm.dot(c_v, qx)
     dv_dy = one_over_k * vm.dot(c_v, qy)
 
-    dP_dx = xd(world, du_dx[:, None] * e1 + dv_dx[:, None] * e2)
-    dP_dy = xd(world, du_dy[:, None] * e1 + dv_dy[:, None] * e2)
+    # Differential space convention (cfg.differentials_object_space): the
+    # reference leaves dO/dN in OBJECT space (BottomLevelBVH.cpp:291-301;
+    # Mesh.cpp:23-28 transforms only the incoming ray) — the world-space
+    # rotation below is this framework's correction for rotated instances and
+    # the documented default; the identity map reproduces reference semantics.
+    rot = (lambda m, v: v) if object_space_diffs else xd
+    dP_dx = rot(world, du_dx[:, None] * e1 + dv_dx[:, None] * e2)
+    dP_dy = rot(world, du_dy[:, None] * e1 + dv_dy[:, None] * e2)
 
     dn_dx = du_dx[:, None] * ne1 + dv_dx[:, None] * ne2
     dn_dy = du_dy[:, None] * ne1 + dv_dy[:, None] * ne2
     n_dot_n = vm.dot(n_raw, n_raw) + 1e-20
     n_denom = (jax.lax.rsqrt(n_dot_n) / n_dot_n)[:, None]
-    dN_dx = xd(world, (n_dot_n[:, None] * dn_dx - vm.dot(n_raw, dn_dx)[:, None] * n_raw) * n_denom)
-    dN_dy = xd(world, (n_dot_n[:, None] * dn_dy - vm.dot(n_raw, dn_dy)[:, None] * n_raw) * n_denom)
+    dN_dx = rot(world, (n_dot_n[:, None] * dn_dx - vm.dot(n_raw, dn_dx)[:, None] * n_raw) * n_denom)
+    dN_dy = rot(world, (n_dot_n[:, None] * dn_dy - vm.dot(n_raw, dn_dy)[:, None] * n_raw) * n_denom)
 
     ds_dx = du_dx * te1[:, 0] + dv_dx * te2[:, 0]
     ds_dy = du_dy * te1[:, 0] + dv_dy * te2[:, 0]
@@ -267,7 +273,10 @@ def trace_scene(scene, bvh, rays: Rays, active, cfg: RenderConfig):
         # policy saves them: the bwd pass then rematerializes only shading /
         # texturing, never the BVH walk (~65% of the frame, PERF.md).
         res = checkpoint_name(res, "trace")
-        hits = _mesh_hits_into(scene, rays, res, hits)
+        hits = _mesh_hits_into(
+            scene, rays, res, hits,
+            object_space_diffs=cfg.differentials_object_space,
+        )
         incomplete = res.incomplete
     # lanes outside the wavefront are misses
     hits = hits._replace(hit=hits.hit & active)
@@ -346,16 +355,41 @@ class _Generation(NamedTuple):
 
 
 def _material_gather(scene, mid):
-    # named residuals: bwd reuses the gathered per-lane material rows (the VJP
-    # to the mat_* parameter tables is a scatter at the same discrete ids and
-    # does not need the gather re-run)
-    g = functools.partial(checkpoint_name, name="gather")
+    """Per-lane material rows via ONE one-hot matmul over the packed table.
+
+    The material buffer is tiny (MAX_MATERIALS=256, Config.h:18; real scenes
+    carry far fewer), well under the measured ~500-row crossover where the
+    MXU one-hot gather beats jnp.take (PERF.md round 5) — and, decisively, its
+    VJP is the TRANSPOSED matmul (oh^T @ cot) instead of five per-table
+    scatter-adds at ~27 ns/scattered-lane (the bwd scatter cost model).
+    precision=HIGHEST makes the dot reproduce jnp.take bit-for-bit, including
+    the int texture ids carried as exact f32 values (< 2^24) — verified on
+    TPU in scratch/bench_topgather.py."""
+    m_rows = scene.mat_diffuse.shape[0]
+    packed = jnp.concatenate(
+        [
+            scene.mat_diffuse,
+            scene.mat_reflection,
+            scene.mat_transmittance,
+            scene.mat_ior[:, None],
+            scene.mat_texture.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # [M,11]
+    oh = jax.nn.one_hot(mid, m_rows, dtype=jnp.float32)
+    rows = checkpoint_name(
+        jax.lax.dot_general(
+            oh, packed, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        "gather",
+    )
     return (
-        g(jnp.take(scene.mat_diffuse, mid, axis=0)),
-        g(jnp.take(scene.mat_reflection, mid, axis=0)),
-        g(jnp.take(scene.mat_transmittance, mid, axis=0)),
-        g(jnp.take(scene.mat_ior, mid, axis=0)),
-        g(jnp.take(scene.mat_texture, mid, axis=0)),
+        rows[:, 0:3],
+        rows[:, 3:6],
+        rows[:, 6:9],
+        rows[:, 9],
+        jnp.round(rows[:, 10]).astype(jnp.int32),
     )
 
 
@@ -372,7 +406,7 @@ def _tex_tuple(scene):
 
 def _shade_generation(
     scene, bvh, gen: _Generation, fb, spawn: bool, cfg, stats, spawn_mask=None,
-    secondary: bool = False, tex4=None,
+    secondary: bool = False, tex4=None, identity_pixels: bool = False,
 ):
     """Trace + shade one generation; returns (fb, child candidates or None, stats).
 
@@ -383,7 +417,11 @@ def _shade_generation(
     unrolled loop's spawn=False final bounce.  ``secondary`` selects the
     secondary-generation traversal ladders (config.wide_rounds*_secondary) —
     tight secondary queues have a higher active fraction than scene-tuned
-    primary ladders assume."""
+    primary ladders assume.  ``identity_pixels`` (static) declares
+    gen.pixel == arange(n): the framebuffer accumulation becomes a DENSE add
+    instead of a scatter-add (bit-identical; a scatter at iota indices is the
+    same sum), which XLA does not infer on its own — generation 0 always
+    qualifies by construction (render_wavefront)."""
     if secondary:
         if cfg.wide_rounds_secondary is not None:
             cfg = cfg.replace(wide_rounds=cfg.wide_rounds_secondary)
@@ -395,11 +433,16 @@ def _shade_generation(
     stats = stats._replace(num_incomplete=stats.num_incomplete + incomplete)
     hit = hits.hit
 
+    def fb_add(fb, contribution):
+        if identity_pixels:
+            return fb + contribution  # == scatter-add at iota indices
+        return fb.at[gen.pixel].add(contribution)
+
     if cfg.visualize_heatmap:
         # Raytracer.cpp:97-102: steps scaled by (1/32, 1/256, 1/512)
         steps = hits.bvh_steps.astype(jnp.float32)
         heat = jnp.stack([steps / 32.0, steps / 256.0, steps / 512.0], axis=-1)
-        fb = fb.at[gen.pixel].add(jnp.where(gen.active[:, None], heat, 0.0))
+        fb = fb_add(fb, jnp.where(gen.active[:, None], heat, 0.0))
         return fb, None, stats
 
     # Beer's law along this segment (evaluated at the child level; see module doc)
@@ -407,10 +450,13 @@ def _shade_generation(
     beer = jnp.exp(gen.sigma * t_seg[:, None])
     w = gen.weight * beer
 
-    # sky on miss (Raytracer.cpp:104-111)
+    # sky on miss (Raytracer.cpp:104-111).  Accumulated with the shaded surface
+    # contribution below into ONE framebuffer update: the two terms are
+    # disjoint-masked (miss vs hit), so fb+a+b == fb+(a+b) bit-for-bit while
+    # halving the per-generation fb scatter count.
     miss = gen.active & ~hit
     sky_rgb = sky_sample.sample_sky(scene.sky_data, scene.sky_size, rays.direction)
-    fb = fb.at[gen.pixel].add(jnp.where(miss[:, None], w * sky_rgb, 0.0))
+    contribution = jnp.where(miss[:, None], w * sky_rgb, 0.0)
 
     # material albedo: per-lane gather + texture filter (Raytracer.cpp:117-141)
     mid = jnp.where(hit, hits.material_id, 0)
@@ -514,7 +560,7 @@ def _shade_generation(
             )
         )
 
-    fb = fb.at[gen.pixel].add(w * albedo * light_acc)
+    fb = fb_add(fb, contribution + w * albedo * light_acc)
 
     if not spawn:
         return fb, None, stats
@@ -712,7 +758,8 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
         # the traversal ladders + shading compile once instead of once per
         # bounce, roughly halving the 1080p program's compile time (PERF.md r3).
         fb, cand, stats = _shade_generation(
-            scene, bvh, gen, fb, True, cfg, stats, tex4=tex4
+            scene, bvh, gen, fb, True, cfg, stats, tex4=tex4,
+            identity_pixels=True,
         )
         # max over the tuple (not factors[0]) so the shared capacity dominates
         # every unrolled per-bounce capacity even for non-decreasing tuples —
@@ -740,7 +787,7 @@ def render_wavefront(scene, cfg: RenderConfig, pixel_idx, bvh=None, tex4=None):
         spawn = bounce < depth
         fb, cand, stats = _shade_generation(
             scene, bvh, gen, fb, spawn, cfg, stats, secondary=bounce > 0,
-            tex4=tex4,
+            tex4=tex4, identity_pixels=bounce == 0,
         )
         if cand is None:
             break
@@ -865,3 +912,57 @@ class Renderer:
 
     def __call__(self, scene):
         return self._render(scene)
+
+
+def lossless_fallback_config(cfg: RenderConfig) -> RenderConfig:
+    """The lossless execution profile for ``cfg``'s workload shape.
+
+    queue_factor=2.0 is capacity-lossless by construction (a surface spawns at
+    most 2 children, Raytracer.cpp:249-316); the single full-capacity ladder
+    rounds remove every compaction-capacity assumption (no lane can be starved
+    by a round capacity — only by the iteration budget, which is set ~2x past
+    the deepest measured walk and still audited by num_incomplete); the larger
+    stack removes the overflow path.  Costs several times the scene-tuned
+    profile — which is exactly why it is the RETRY profile, not the default
+    (see RobustRenderer)."""
+    return cfg.replace(
+        queue_factor=2.0,
+        wide_rounds=((1.0, 128),),
+        wide_rounds_any=((1.0, 64),),
+        wide_rounds_secondary=((1.0, 128),),
+        wide_rounds_any_secondary=((1.0, 64),),
+        wide_stack_size=max(cfg.wide_stack_size, 24),
+    )
+
+
+class RobustRenderer:
+    """Scene-tuned render with a same-frame lossless retry.
+
+    Static XLA shapes mean queue capacities and ladder rounds cannot adapt to
+    the frame's actual workload — and a single static capacity cannot be both
+    fast and lossless: a camera pose staring into a dielectric mesh spawns ~2
+    children per lane (measured on the sponza spline fly-through,
+    tests/test_pose_sweep.py), which only the reference-lossless factor 2.0
+    covers, while typical poses need < 1/8 of that.  The TPU-native resolution
+    is host-side control flow between two compiled programs: render with the
+    scene-tuned profile, read back the frame's loss counters (num_dropped /
+    num_incomplete — maintained for exactly this), and re-render THIS frame
+    with the lossless profile iff they are nonzero.  Typical frames pay only
+    the tuned cost; hot frames pay one extra dispatch and stay correct —
+    the analog of the reference's unconditionally lossless recursion
+    (Raytracer.cpp:249-316) at amortized tuned-profile cost.
+    """
+
+    def __init__(self, cfg: RenderConfig, fallback_cfg: RenderConfig | None = None):
+        self.cfg = cfg
+        self.fallback_cfg = fallback_cfg or lossless_fallback_config(cfg)
+        self._fast = jax.jit(lambda s: render_with_stats(s, self.cfg))
+        self._safe = jax.jit(lambda s: render_with_stats(s, self.fallback_cfg))
+
+    def __call__(self, scene):
+        """Returns (image, stats, retried: bool)."""
+        img, stats = self._fast(scene)
+        lossy = int(stats.num_dropped) + int(stats.num_incomplete)
+        if lossy:
+            img, stats = self._safe(scene)
+        return img, stats, bool(lossy)

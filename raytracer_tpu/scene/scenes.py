@@ -188,6 +188,51 @@ class SponzaScene(SceneDescription):
                 self.camera.rotation = quat.look_rotation(forward, [0.0, 1.0, 0.0])
 
 
+def sponza_spline_poses(n: int = 8, fit_standin: bool | None = None):
+    """Sample ``n`` camera poses from the reference's sponza fly-through
+    (Scene.cpp:95-126): position from the Catmull-Rom spline, rotation looking
+    along the motion direction (matching SponzaScene.update's playback).
+
+    The spline is authored for crytek-sponza's extents (x +-130, y up to 99).
+    When config3 renders the procedural stand-in (the snapshot is missing
+    sponza.obj — SURVEY.md section 6), the control points are mapped affinely
+    into the stand-in atrium's interior so every pose still flies THROUGH the
+    geometry rather than far outside it.  Used by the pose-robustness sweep
+    (tools/pose_sweep.py, tests/test_pose_sweep.py): scene-tuned ladder/queue
+    capacities must stay lossless on the reference's own camera path, not just
+    the single bench pose (VERDICT r4 #4).
+    """
+    from ..core.spline import CatmullRomSpline
+
+    pts = np.array(SPONZA_SPLINE_POINTS, np.float64)
+    if fit_standin is None:
+        fit_standin = not os.path.exists(
+            os.path.join(REFERENCE_DATA, "sponza", "sponza.obj")
+        )
+    if fit_standin:
+        # per-axis affine map of the spline bbox into the stand-in atrium
+        # (meshgen.sponza_like: footprint 36x16, height 12), with margin
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        tlo = np.array([-15.0, 1.5, -5.0])
+        thi = np.array([15.0, 10.0, 5.0])
+        pts = (pts - lo) / np.maximum(hi - lo, 1e-9) * (thi - tlo) + tlo
+    t_end = SPONZA_SPLINE_TIMES[-1]
+    poses = []
+    rot = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)  # fallback: bench pose
+    for i in range(n):
+        t = (i + 0.5) / n * t_end
+        # the spline API is the reference's stateful playback (one clock per
+        # instance): sample absolute times through fresh instances
+        pos = CatmullRomSpline(SPONZA_SPLINE_TIMES, pts).get_point(t)
+        nxt = CatmullRomSpline(SPONZA_SPLINE_TIMES, pts).get_point(t + 0.05)
+        forward = np.asarray(nxt, np.float64) - np.asarray(pos, np.float64)
+        if np.linalg.norm(forward) > 1e-9:
+            rot = quat.look_rotation(forward, [0.0, 1.0, 0.0])
+        poses.append((np.asarray(pos, np.float64).copy(), np.asarray(rot).copy()))
+    return poses
+
+
 def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_000,
                    accelerator=MeshAccelerator.SBVH):
     """BASELINE config[3]: Sponza 1080p — full SBVH, mipmapped textures, all light

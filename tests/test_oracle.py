@@ -101,8 +101,8 @@ def _oracle_scene():
     return desc
 
 
-def _compare(cfg):
-    desc = _oracle_scene()
+def _compare(cfg, desc=None, min_hit_frac=0.9):
+    desc = desc if desc is not None else _oracle_scene()
     scene = pack_scene(desc, cfg.width, cfg.height)
     img_wave, stats = jax.jit(
         lambda s: renderer.render_with_stats(s, cfg)
@@ -120,7 +120,7 @@ def _compare(cfg):
     # a small pixel budget for f32-marginal shadow/texel decisions (docstring)
     assert frac_bad <= 0.02, f"{frac_bad:.3%} pixels differ > 1e-3"
     # the scene must actually exercise geometry: most pixels hit something
-    assert float((img_oracle.sum(-1) > 0).mean()) > 0.9
+    assert float((img_oracle.sum(-1) > 0).mean()) > min_hit_frac
     return mean, frac_bad
 
 
@@ -145,3 +145,96 @@ def test_oracle_parity_trilinear_deep():
         mipmap_filter=MipmapFilter.TRILINEAR,
     )
     _compare(cfg)
+
+
+def test_oracle_parity_ewa():
+    """EWA filtering through the FULL renderer (Texture.cpp:242-337) — the
+    scalar-level texture parity tests (test_textures.py) cover the filter in
+    isolation; this ties the differential->ellipse->weighted-scan chain into
+    the composed pipeline (VERDICT r4 #5a).  max_anisotropy=4 keeps the
+    eccentricity-clamped ellipse bbox inside the renderer's static
+    ewa_max_span window, where the bounded-window formulation is exact."""
+    cfg = RenderConfig(
+        width=48, height=32, num_bounces=2, queue_factor=2.0,
+        traversal_chunk=1 << 11, max_anisotropy=4.0,
+        texture_sample_mode=TextureSampleMode.MIPMAP,
+        mipmap_filter=MipmapFilter.EWA,
+    )
+    _compare(cfg)
+
+
+def _rotated_textured_scene():
+    """A textured, uv-mapped mesh instance under a NON-identity rotation: the
+    two paths previously unchecked by any oracle scene (VERDICT r4 #5b/#5c) —
+    the mesh differential -> texture LOD chain, and the rotated-instance
+    differential convention (compared under
+    cfg.differentials_object_space=True, the reference's semantics,
+    BottomLevelBVH.cpp:291-301)."""
+    from raytracer_tpu.core import quaternion as quat
+
+    desc = SceneDescription()
+    data, size = procedural_probe(32)
+    desc.set_sky(data, size)
+
+    # uv-mapped box with a mip-mapped checker texture (meshgen boxes carry uvs)
+    box = meshgen.box((2.0, 1.2, 1.6))
+    ch = np.indices((32, 32)).sum(0) % 2
+    tex = np.stack([0.15 + 0.7 * ch, 0.3 + 0.5 * ch, 0.6 + 0.3 * ch], -1)
+    for m in box.materials:
+        m.diffuse = np.array([0.9, 0.9, 0.85])
+        m.texture_array = tex.astype(np.float32)
+    desc.register_blas("box", build_blas(box, MeshAccelerator.BVH, cache_dir=None))
+    inst = desc.add_instance("box", (0.0, 0.8, 5.0))
+    inst.transform.rotation = quat.multiply(
+        quat.axis_angle([0.0, 1.0, 0.0], 0.7),
+        quat.axis_angle([1.0, 0.0, 0.0], 0.35),
+    )
+    inst2 = desc.add_instance("box", (-2.6, 0.5, 7.0))
+    inst2.transform.rotation = quat.axis_angle([0.0, 1.0, 0.0], -1.1)
+
+    # mirror floor so secondary rays re-hit the rotated textured mesh and the
+    # reflected differentials drive its LOD too
+    floor = desc.add_plane((0.0, -0.5, 0.0))
+    desc.material(floor).diffuse = np.array([0.4, 0.4, 0.45])
+    desc.material(floor).reflection = np.array([0.3, 0.3, 0.3])
+
+    desc.point_lights.append(
+        PointLight(np.array([14.0, 12.0, 10.0]), np.array([2.0, 6.0, 2.0]))
+    )
+    desc.directional_lights.append(
+        DirectionalLight(np.array([0.3, 0.3, 0.35]), np.array([0.1, -1.0, 0.2]))
+    )
+    desc.camera.position = np.array([0.0, 1.2, 0.0])
+    return desc
+
+
+def test_oracle_parity_rotated_textured_mesh():
+    """Rotated instances + textured mesh LOD, object-space differential
+    convention (reference semantics) on BOTH sides — closes the previously
+    untested rotated-instance differential path against an independent
+    implementation."""
+    cfg = RenderConfig(
+        width=48, height=32, num_bounces=2, queue_factor=2.0,
+        traversal_chunk=1 << 11, differentials_object_space=True,
+        texture_sample_mode=TextureSampleMode.MIPMAP,
+        mipmap_filter=MipmapFilter.ANISOTROPIC,
+    )
+    _compare(cfg, desc=_rotated_textured_scene(), min_hit_frac=0.5)
+
+
+def test_object_space_flag_identity_invariant():
+    """Under identity rotations the two differential conventions coincide:
+    the flag must be a no-op there (sanity for the compatibility flag)."""
+    cfg = RenderConfig(
+        width=32, height=24, num_bounces=1, queue_factor=2.0,
+        traversal_chunk=1 << 10,
+        texture_sample_mode=TextureSampleMode.MIPMAP,
+        mipmap_filter=MipmapFilter.ANISOTROPIC,
+    )
+    desc = _oracle_scene()
+    scene = pack_scene(desc, cfg.width, cfg.height)
+    img_a = np.asarray(renderer.render(scene, cfg))
+    img_b = np.asarray(
+        renderer.render(scene, cfg.replace(differentials_object_space=True))
+    )
+    assert np.array_equal(img_a, img_b)

@@ -1,0 +1,93 @@
+"""Pose-robustness sweep of the scene-tuned traversal/queue capacities.
+
+config3's ladders and queue factors are scene-tuned (scenes.py), and round 4
+proved twice that a single-pose validation can silently starve lanes at other
+shapes/poses (PERF.md "Ladders must be validated AT the bench shape").  This
+sweep drives the flagship config through the reference's own camera path —
+the 27-keyframe sponza fly-through (Scene.cpp:95-126) — and asserts every
+frame is LOSSLESS (incomplete == 0, dropped == 0) at each pose.
+
+CPU tier of the artifact (reduced resolution); tools/pose_sweep.py runs the
+same sweep at the 1080p bench shape on chip and records worst-pose headroom
+in PERF.md (VERDICT r4 #4).
+"""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.render import renderer
+from raytracer_tpu.scene import scenes
+from raytracer_tpu.scene.device import ScenePacker
+
+N_POSES = 8
+
+
+@pytest.fixture(scope="module")
+def packer_and_cfg():
+    desc, cfg = scenes.config3_sponza(target_triangles=40_000)
+    cfg = cfg.replace(width=128, height=72, traversal_chunk=1 << 11)
+    return desc, ScenePacker(desc, cfg.width, cfg.height), cfg
+
+
+def test_spline_poses_inside_standin():
+    """The affine fit keeps every sampled pose inside the stand-in atrium
+    (footprint 36x16, height 12 — meshgen.sponza_like) so the sweep actually
+    exercises geometry-heavy frames."""
+    poses = scenes.sponza_spline_poses(N_POSES, fit_standin=True)
+    assert len(poses) == N_POSES
+    for pos, rot in poses:
+        assert -16.0 <= pos[0] <= 16.0
+        assert 1.0 <= pos[1] <= 10.5
+        assert -5.5 <= pos[2] <= 5.5
+        assert abs(np.linalg.norm(rot) - 1.0) < 1e-6
+
+
+def test_pose_sweep_lossless(packer_and_cfg):
+    """Every spline pose renders LOSSLESSLY through the production mechanism:
+    the scene-tuned program first, then — iff the frame's loss counters are
+    nonzero — the same-frame lossless retry (renderer.RobustRenderer, the
+    app.py default).
+
+    Measured background (scratch/pose_qf_sweep.log): no single static
+    secondary-queue capacity can cover this path cheaply — pose ~t=36 of the
+    fitted fly-through stares into the concave dielectric lens, where ~every
+    lane spawns BOTH a reflection and a refraction child, i.e. the lossless
+    requirement there is the reference's full 2.0 factor while the bench pose
+    needs 3/32.  Static shapes can't adapt in-program; the counters + retry
+    close the gap at amortized tuned cost.  This test asserts (a) the retry
+    profile is genuinely lossless at every pose, and (b) the tuned profile
+    alone stays lossless on a majority of the path (the mechanism is the
+    exception, not the rule)."""
+    desc, packer, cfg = packer_and_cfg
+    robust = renderer.RobustRenderer(cfg)
+    poses = scenes.sponza_spline_poses(N_POSES)
+    n_retried = 0
+    for k, (pos, rot) in enumerate(poses):
+        desc.camera.position = pos
+        desc.camera.rotation = rot
+        scene = packer.frame()
+        img, stats, retried = robust(scene)
+        n_retried += int(retried)
+        inc, drp = int(stats.num_incomplete), int(stats.num_dropped)
+        assert inc == 0, f"pose {k}: {inc} incomplete lanes even after retry"
+        assert drp == 0, f"pose {k}: {drp} dropped rays even after retry"
+        assert np.all(np.isfinite(np.asarray(img)))
+    # the tuned profile must carry most of the path on its own; if every pose
+    # needs the fallback the "tuned" capacities are mis-tuned
+    assert n_retried <= N_POSES // 2, (
+        f"{n_retried}/{N_POSES} poses needed the lossless retry"
+    )
+
+
+def test_robust_renderer_no_retry_on_tuned_pose(packer_and_cfg):
+    """At the bench pose the tuned program is already lossless: the robust
+    wrapper must not pay the fallback there."""
+    desc, packer, cfg = packer_and_cfg
+    desc.camera.position = np.array([15.0, 4.0, 0.0])
+    from raytracer_tpu.core import quaternion as quat
+
+    desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
+    robust = renderer.RobustRenderer(cfg)
+    img, stats, retried = robust(packer.frame())
+    assert not retried
+    assert int(stats.num_dropped) == 0 and int(stats.num_incomplete) == 0
