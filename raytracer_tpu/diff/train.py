@@ -156,7 +156,14 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, axes=None, optimizer=None,
     n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     perm = strided_pixel_permutation(cfg.num_pixels, n_shards)
     idx_sharding = NamedSharding(mesh, P(axes))
-    perm_dev = jax.device_put(jnp.asarray(perm), idx_sharding)
+    # make_array_from_callback instead of device_put: each process materializes
+    # only its ADDRESSABLE shards, so the same code path works on a
+    # single-process virtual mesh AND a true multi-process jax.distributed
+    # mesh (device_put cannot target non-addressable devices) —
+    # tests/test_distributed.py runs this across 2 OS processes
+    perm_dev = jax.make_array_from_callback(
+        perm.shape, idx_sharding, lambda idx: perm[idx]
+    )
 
     def _local_loss_and_grad(params, scene, target_flat, pixel_idx):
         def local_loss(p):
@@ -180,12 +187,17 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, axes=None, optimizer=None,
     )
 
     @jax.jit
-    def step(params, opt_state, scene, target):
+    def _step(params, opt_state, scene, target, perm):
         target_flat = target.reshape(-1, 3)
-        loss, grads = shard_fn(params, scene, target_flat, perm_dev)
+        loss, grads = shard_fn(params, scene, target_flat, perm)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, scene, target):
+        # perm_dev rides as an ARGUMENT: a closed-over array spanning
+        # non-addressable devices is rejected under multi-process jax
+        return _step(params, opt_state, scene, target, perm_dev)
 
     def init(scene):
         params = extract_params(scene, fields)

@@ -46,7 +46,12 @@ def load_mtl(path: str) -> dict:
             elif key == "Ni":
                 cur.index_of_refraction = float(parts[1])
             elif key == "map_Kd":
-                cur.texture_path = os.path.join(base, " ".join(parts[1:]))
+                # normalize Windows separators: real-world MTLs (e.g. the
+                # crytek sponza.mtl shipped in the reference Data dir) write
+                # "textures\\lion.tga"; the reference is a Windows program so
+                # tinyobj resolves them natively — a portable loader must too
+                rel = " ".join(parts[1:]).replace("\\", "/")
+                cur.texture_path = os.path.normpath(os.path.join(base, rel))
     return materials
 
 

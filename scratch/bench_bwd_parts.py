@@ -71,8 +71,12 @@ def main():
     run("fwd+bwd all params", ALL, cfg)
     run("fwd+bwd no checkpoint", ALL, cfg.replace(chunk_checkpoint=False))
     run("fwd+bwd no tex/sky", NO_TEX, cfg)
+    run("fwd+bwd no tex", tuple(f for f in ALL if f != "tex_data"), cfg)
+    run("fwd+bwd no sky", tuple(f for f in ALL if f != "sky_data"), cfg)
     run("fwd+bwd no camera", NO_CAM, cfg)
     run("fwd+bwd mat colors only", MAT_ONLY, cfg)
+    run("fwd+bwd ambient only", ("ambient",), cfg)
+    run("fwd+bwd pl_colour only", ("pl_colour",), cfg)
 
 
 if __name__ == "__main__":

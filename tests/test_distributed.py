@@ -50,6 +50,35 @@ _WORKER = textwrap.dedent(
     total = f(x)
     # global array = [1,1,2,2] -> psum of local sums = 6, replicated everywhere
     assert float(np.asarray(total.addressable_data(0))) == 6.0
+
+    # ---- a REAL cross-process render: one sharded fwd+bwd train step over the
+    # 4-device global mesh (pixels sharded 4-way, 2 per process), asserted
+    # against this process's single-device evaluation of the same loss
+    # (VERDICT r4 #6 — closes the gap between "psum works cross-process" and
+    # "the renderer works cross-process")
+    import optax
+    import __graft_entry__ as ge
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.diff.train import (
+        extract_params, make_sharded_train_step, render_loss,
+    )
+    from raytracer_tpu.scene.device import pack_scene
+
+    cfg = RenderConfig(width=32, height=24, num_bounces=1, queue_factor=1.0,
+                       traversal_chunk=1 << 8)
+    desc = ge._tiny_scene()
+    scene = pack_scene(desc, cfg.width, cfg.height)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    loss_ref = float(render_loss(extract_params(scene), scene, target, cfg))
+
+    init, step = make_sharded_train_step(cfg, mesh, optimizer=optax.sgd(1.0))
+    params, opt_state = init(scene)
+    _p, _o, loss_sh = step(params, opt_state, scene, target)
+    loss_sh = float(np.asarray(loss_sh.addressable_data(0)))
+    rel = abs(loss_sh - loss_ref) / max(abs(loss_ref), 1e-12)
+    assert rel < 1e-3, (loss_ref, loss_sh)
+    print("RENDER OK", pid, loss_sh)
     print("OK", pid)
     """
 )
@@ -77,7 +106,7 @@ def test_two_process_distributed_psum(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -86,3 +115,4 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"OK {pid}" in out
+        assert f"RENDER OK {pid}" in out, f"no cross-process render:\n{out}"
