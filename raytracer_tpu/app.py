@@ -31,6 +31,12 @@ def main(argv=None):
                     help="BVH traversal-step heatmap render (Config.h:23)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument(
+        "--batch-frames", type=int, default=1,
+        help="animate and render N frames per device dispatch (lax.map over "
+        "the frame axis): amortizes the per-dispatch RTT for animation "
+        "workloads (renderer.render_frames)",
+    )
+    ap.add_argument(
         "--no-lossless-retry", action="store_true",
         help="disable the same-frame lossless re-render when the frame's loss "
         "counters (dropped/incomplete) are nonzero (render/renderer.py "
@@ -80,6 +86,46 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     timer = FrameTimer()
+
+    if args.batch_frames > 1:
+        import jax.numpy as jnp
+
+        batched = jax.jit(lambda st: renderer.render_frames(st, cfg))
+        frame = 0
+        while frame < args.frames:
+            n = min(args.batch_frames, args.frames - frame)
+            stacked = []
+            for _ in range(n):
+                desc.update(args.dt)
+                stacked.append(packer.frame())
+            scene_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *stacked
+            )
+            imgs, stats_n = batched(scene_stack)
+            float(imgs.sum())  # scalar readback forces completion
+            delta = timer.tick() / n
+            for k in range(n):
+                stats = jax.tree_util.tree_map(lambda x: x[k], stats_n)
+                metrics = mrays_per_second(stats, delta)
+                print(json.dumps({
+                    "frame": frame, "ms": round(delta * 1e3, 2),
+                    "batched": n,
+                    **{kk: round(v, 2) if isinstance(v, float) else v
+                       for kk, v in metrics.items()},
+                }))
+                image_util.save_png(
+                    os.path.join(args.out, f"frame_{frame:04d}.png"),
+                    np.asarray(imgs[k]),
+                )
+                frame += 1
+            shown = present(imgs[n - 1])
+        image_util.save_png(
+            os.path.join(args.out, "final_presented.png"), np.asarray(shown),
+            gamma=False,
+        )
+        print(f"Wrote {args.frames} frame(s) to {args.out}/")
+        return
+
     for frame in range(args.frames):
         desc.update(args.dt)
         scene = packer.frame()

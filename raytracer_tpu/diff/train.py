@@ -199,6 +199,10 @@ def make_sharded_train_step(cfg: RenderConfig, mesh, axes=None, optimizer=None,
         # non-addressable devices is rejected under multi-process jax
         return _step(params, opt_state, scene, target, perm_dev)
 
+    # expose jit introspection with the permutation pre-bound (the collectives
+    # audit lowers the step to count its all_reduces — tests/test_collectives)
+    step.lower = lambda *a, **kw: _step.lower(*a, perm_dev, **kw)
+
     def init(scene):
         params = extract_params(scene, fields)
         return params, optimizer.init(params)

@@ -903,6 +903,23 @@ def render(scene, cfg: RenderConfig):
     return render_with_stats(scene, cfg)[0]
 
 
+def render_frames(scene_stack, cfg: RenderConfig):
+    """Render a BATCH of packed frames in ONE dispatch.
+
+    ``scene_stack``: a DeviceScene pytree whose leaves carry a leading frame
+    axis (host-side: animate + ScenePacker.frame per step, then
+    ``jax.tree_util.tree_map(lambda *xs: np.stack(xs), *frames)``).  The body
+    compiles once (lax.map) and the whole animation batch costs one
+    dispatch round-trip instead of one per frame — on the tunneled runtime
+    each dispatch costs ~40 ms of RTT (PERF.md platform model, lever #2), so
+    batching N frames saves (N-1) x RTT of wall clock for interactive-style
+    workloads (the reference's frame loop, Main.cpp:51-118).
+
+    Returns (images [N,H,W,3], stats with a leading [N] axis).
+    """
+    return jax.lax.map(lambda s: render_with_stats(s, cfg), scene_stack)
+
+
 class Renderer:
     """Convenience wrapper: jit-compiled render for a fixed config."""
 

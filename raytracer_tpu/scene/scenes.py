@@ -283,6 +283,12 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     # and asserted 0 in the config3 golden, guards the margin), and one shared
     # capacity means the scan_bounces path re-uses a single traced bounce body.
     cfg = RenderConfig(
+        # 3/32 shared secondary queue: the round-5 retune attempt (0.08 and
+        # the 128-aligned 0.078125, both ~15% fewer queue lanes) measured
+        # SLOWER same-process at 1080p (2596 vs 2538 ms fwd+bwd,
+        # scratch/ab_r5tune.log) — 6144 = 48x128 lanes evidently tiles better
+        # than the smaller capacities; queue width is NOT lane-count-monotone
+        # on this platform.  3/32 stays.
         width=width, height=height, num_bounces=3, queue_factor=(0.09375,),
         mesh_accelerator=accelerator,
         # chunk-size sweep at 1080p with packed boundaries + octant sort
@@ -297,6 +303,8 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         # validated at 1080p where activity/decay run slightly hotter than the
         # 960x540 curve (round-4 sweep: (0.5,8),(0.2,8) capacities starved
         # ~4.2k lanes at 1080p; these leave incomplete == 0 at 2.24 s fwd):
+        # (round-5 also A/B'd a tail trim (1/192,96) -> (1/320,72): lossless
+        # but measured slower in combination — scratch/ab_r5tune.log; kept)
         wide_rounds_any=((0.55, 8), (0.25, 8), (1.0 / 24, 16), (1.0 / 192, 96)),
         # Secondary closest rays walk longer than camera primaries AND their
         # queue is tight (66% active at 3/32 capacity), so the primary ladder's

@@ -87,6 +87,42 @@ def main():
     )
     print("SUMMARY " + json.dumps(summary), flush=True)
 
+    # ---- batched-dispatch mode (renderer.render_frames, PERF.md lever #2):
+    # N frames animated host-side, stacked, ONE device dispatch per batch
+    import jax.numpy as jnp
+
+    nb = 6
+    batched = jax.jit(lambda st: renderer.render_frames(st, cfg))
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        stacked = []
+        for _ in range(nb):
+            desc.update(1.0 / 60.0)
+            stacked.append(packer.frame())
+        t_host = time.time() - t0
+        scene_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stacked)
+        t1 = time.time()
+        imgs, stats_n = batched(scene_stack)
+        float(imgs.sum())
+        t_dev = time.time() - t1
+        drp = int(np.sum(np.asarray(stats_n.num_dropped)))
+        inc = int(np.sum(np.asarray(stats_n.num_incomplete)))
+        if rep > 0:  # rep 0 compiles
+            times.append((t_host + t_dev) / nb)
+        print(json.dumps(dict(batch_rep=rep, n=nb,
+                              host_ms=round(t_host * 1e3, 2),
+                              device_ms=round(t_dev * 1e3, 2),
+                              per_frame_ms=round((t_host + t_dev) / nb * 1e3, 2),
+                              dropped=drp, incomplete=inc)), flush=True)
+    if times:
+        best = min(times)
+        print("BATCH_SUMMARY " + json.dumps(dict(
+            n_per_dispatch=nb, per_frame_ms=round(best * 1e3, 2),
+            fps=round(1.0 / best, 2),
+            saved_vs_unbatched_ms=round(med("total_ms") - best * 1e3, 2),
+        )), flush=True)
+
 
 if __name__ == "__main__":
     main()
