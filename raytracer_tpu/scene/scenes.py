@@ -276,20 +276,27 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
     )
     desc.camera.position = np.array([15.0, 4.0, 0.0])
     desc.camera.rotation = quat.axis_angle([0.0, 1.0, 0.0], -np.pi / 2)
-    # mostly-diffuse scene: deep generations carry few rays.  Measured child
-    # activity at 1080p/260k tris (scratch round 3): bounce-0 children 6.2% of
-    # n, later bounces 3.7-5.3% — one shared 3/32 capacity covers every
-    # secondary generation with ~50% headroom (num_dropped, printed by bench
-    # and asserted 0 in the config3 golden, guards the margin), and one shared
-    # capacity means the scan_bounces path re-uses a single traced bounce body.
+    # mostly-diffuse scene: deep generations carry few rays; num_dropped
+    # (printed by bench, asserted 0 in the config3 golden) guards every
+    # queue-capacity margin below.
     cfg = RenderConfig(
-        # 3/32 shared secondary queue: the round-5 retune attempt (0.08 and
-        # the 128-aligned 0.078125, both ~15% fewer queue lanes) measured
-        # SLOWER same-process at 1080p (2596 vs 2538 ms fwd+bwd,
-        # scratch/ab_r5tune.log) — 6144 = 48x128 lanes evidently tiles better
-        # than the smaller capacities; queue width is NOT lane-count-monotone
-        # on this platform.  3/32 stays.
-        width=width, height=height, num_bounces=3, queue_factor=(0.09375,),
+        # Round-5 retune (same-process 1080p fwd+bwd A/Bs, scratch/ab_*.log):
+        # - the UNROLLED bounce pipeline beats the scan_bounces path by 178 ms
+        #   at IDENTICAL queues (2360 vs 2538 ms): the scan's uniform shared
+        #   capacity + masked final iteration + loop machinery cost more than
+        #   the extra compile (cold 229 s vs 149 s — tools/warm_bench.py
+        #   prewarms the server cache either way);
+        # - per-bounce DECAYING queues add another 64 ms: bounce-1 children
+        #   measured 6.2% of n, bounces 2-3 only 3.7-5.3% (scratch r3), so
+        #   gens 2-3 run at 1/16 and 3/64 instead of all at 3/32
+        #   (bench-validated dropped == 0; hot off-bench poses are covered by
+        #   the RobustRenderer lossless retry, tests/test_pose_sweep.py);
+        # - NOT adopted (slower despite fewer lanes): bounce-1 queue 0.08 /
+        #   0.078125 (2596 vs 2538 — 6144=48x128 lanes tiles better; queue
+        #   width is not lane-count-monotone), any-ladder tail trim
+        #   (1/320,72), chunk_checkpoint=False.
+        width=width, height=height, num_bounces=3,
+        queue_factor=(0.09375, 0.0625, 0.046875), scan_bounces=False,
         mesh_accelerator=accelerator,
         # chunk-size sweep at 1080p with packed boundaries + octant sort
         # (round 4): 2^17 fwd+bwd 3.29 s, 2^16 2.77 s, 2^15 3.11 s — the
