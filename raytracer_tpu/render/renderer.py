@@ -952,8 +952,24 @@ def lossless_fallback_config(cfg: RenderConfig) -> RenderConfig:
     )
 
 
+def intermediate_fallback_config(cfg: RenderConfig) -> RenderConfig:
+    """Middle retry tier: the untuned DEFAULT ladders + a 0.5 queue factor —
+    covers most hot poses (measured: everything on the fitted fly-through
+    except dielectric closeups that spawn ~2 children/lane) at roughly 4x the
+    tuned cost instead of the full lossless profile's ~15x (PERF.md round-5
+    pose-sweep artifact)."""
+    base = RenderConfig()
+    return cfg.replace(
+        queue_factor=0.5,
+        wide_rounds=base.wide_rounds,
+        wide_rounds_any=base.wide_rounds_any,
+        wide_rounds_secondary=((1.0, 16),) + tuple(base.wide_rounds[1:]),
+        wide_rounds_any_secondary=((1.0, 8),) + tuple(base.wide_rounds_any[1:]),
+    )
+
+
 class RobustRenderer:
-    """Scene-tuned render with a same-frame lossless retry.
+    """Scene-tuned render with same-frame lossy-counter-triggered retries.
 
     Static XLA shapes mean queue capacities and ladder rounds cannot adapt to
     the frame's actual workload — and a single static capacity cannot be both
@@ -961,25 +977,36 @@ class RobustRenderer:
     children per lane (measured on the sponza spline fly-through,
     tests/test_pose_sweep.py), which only the reference-lossless factor 2.0
     covers, while typical poses need < 1/8 of that.  The TPU-native resolution
-    is host-side control flow between two compiled programs: render with the
+    is host-side control flow between compiled programs: render with the
     scene-tuned profile, read back the frame's loss counters (num_dropped /
-    num_incomplete — maintained for exactly this), and re-render THIS frame
-    with the lossless profile iff they are nonzero.  Typical frames pay only
-    the tuned cost; hot frames pay one extra dispatch and stay correct —
-    the analog of the reference's unconditionally lossless recursion
-    (Raytracer.cpp:249-316) at amortized tuned-profile cost.
+    num_incomplete — maintained for exactly this), and escalate THIS frame
+    through the fallback tiers (intermediate, then fully lossless) until the
+    counters are zero.  Typical frames pay only the tuned cost; hot frames pay
+    extra dispatches and stay correct — the analog of the reference's
+    unconditionally lossless recursion (Raytracer.cpp:249-316) at amortized
+    tuned-profile cost.  Each tier compiles lazily on its first use.
     """
 
-    def __init__(self, cfg: RenderConfig, fallback_cfg: RenderConfig | None = None):
+    def __init__(self, cfg: RenderConfig, fallback_cfgs=None):
         self.cfg = cfg
-        self.fallback_cfg = fallback_cfg or lossless_fallback_config(cfg)
-        self._fast = jax.jit(lambda s: render_with_stats(s, self.cfg))
-        self._safe = jax.jit(lambda s: render_with_stats(s, self.fallback_cfg))
+        if fallback_cfgs is None:
+            fallback_cfgs = (
+                intermediate_fallback_config(cfg),
+                lossless_fallback_config(cfg),
+            )
+        self.tiers = (cfg,) + tuple(fallback_cfgs)
+        self._fns = [
+            jax.jit(lambda s, c=c: render_with_stats(s, c)) for c in self.tiers
+        ]
 
     def __call__(self, scene):
         """Returns (image, stats, retried: bool)."""
-        img, stats = self._fast(scene)
-        lossy = int(stats.num_dropped) + int(stats.num_incomplete)
-        if lossy:
-            img, stats = self._safe(scene)
-        return img, stats, bool(lossy)
+        retried = False
+        for fn in self._fns:
+            img, stats = fn(scene)
+            if int(stats.num_dropped) + int(stats.num_incomplete) == 0:
+                return img, stats, retried
+            retried = True
+        # even the lossless tier reported loss counters: surface it (callers
+        # assert the counters; silent acceptance would hide a real bug)
+        return img, stats, retried
