@@ -220,3 +220,30 @@ def test_heatmap_mode():
     img, _ = renderer.render_with_stats(scene, cfg)
     img = np.asarray(img)
     assert np.all(img >= 0) and img.max() > 0  # some rays took traversal steps
+
+
+def test_render_frames_matches_per_frame():
+    """renderer.render_frames (N frames per dispatch, lax.map over the frame
+    axis — app --batch-frames) is image- and stats-identical to rendering the
+    same packed frames one dispatch at a time."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.scene.device import ScenePacker
+
+    desc, cfg = scenes.make_scene("config4")
+    cfg = cfg.replace(width=48, height=32, traversal_chunk=1 << 9)
+    packer = ScenePacker(desc, cfg.width, cfg.height)
+    frames = []
+    for _ in range(3):
+        desc.update(1.0 / 30.0)
+        frames.append(packer.frame())
+
+    imgs_b, stats_b = renderer.render_frames(
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames), cfg
+    )
+    for k, scene in enumerate(frames):
+        img, stats = renderer.render_with_stats(scene, cfg)
+        np.testing.assert_array_equal(np.asarray(imgs_b[k]), np.asarray(img))
+        for a, b in zip(stats, jax.tree_util.tree_map(lambda x: x[k], stats_b)):
+            assert int(a) == int(b)

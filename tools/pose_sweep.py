@@ -47,49 +47,41 @@ def main():
     packer = ScenePacker(desc, cfg.width, cfg.height)
     poses = scenes.sponza_spline_poses(args.poses)
 
-    fast = jax.jit(lambda s: renderer.render_with_stats(s, cfg))
-    safe = jax.jit(
-        lambda s: renderer.render_with_stats(
-            s, renderer.lossless_fallback_config(cfg)
-        )
+    tiers = (
+        ("tuned", cfg),
+        ("intermediate", renderer.intermediate_fallback_config(cfg)),
+        ("lossless", renderer.lossless_fallback_config(cfg)),
     )
+    fns = [
+        (name, jax.jit(lambda s, c=c: renderer.render_with_stats(s, c)))
+        for name, c in tiers
+    ]
 
     rows = []
     for k, (pos, rot) in enumerate(poses):
         desc.camera.position = pos
         desc.camera.rotation = rot
         scene = packer.frame()
-        t0 = time.time()
-        img, stats = fast(scene)
-        mean = float(img.mean())  # scalar readback forces completion
-        t_fast = time.time() - t0
-        drp = int(stats.num_dropped)
-        inc = int(stats.num_incomplete)
-        row = dict(
-            pose=k, position=[round(float(x), 2) for x in pos],
-            tuned_dropped=drp, tuned_incomplete=inc,
-            tuned_s=round(t_fast, 3), img_mean=round(mean, 5),
-        )
-        if drp or inc:
+        row = dict(pose=k, position=[round(float(x), 2) for x in pos])
+        for name, fn in fns:
             t0 = time.time()
-            img, stats = safe(scene)
-            row["retry_img_mean"] = round(float(img.mean()), 5)
-            row["retry_s"] = round(time.time() - t0, 3)
-            row["retry_dropped"] = int(stats.num_dropped)
-            row["retry_incomplete"] = int(stats.num_incomplete)
-            assert row["retry_dropped"] == 0 and row["retry_incomplete"] == 0, (
-                f"pose {k}: lossless fallback still lossy: {row}"
-            )
+            img, stats = fn(scene)
+            mean = float(img.mean())  # scalar readback forces completion
+            row[f"{name}_s"] = round(time.time() - t0, 3)
+            row[f"{name}_dropped"] = int(stats.num_dropped)
+            row[f"{name}_incomplete"] = int(stats.num_incomplete)
+            row["img_mean"] = round(mean, 5)
+            if row[f"{name}_dropped"] + row[f"{name}_incomplete"] == 0:
+                row["tier"] = name
+                break
+        assert "tier" in row, f"pose {k}: even the lossless tier is lossy: {row}"
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    n_retry = sum(1 for r in rows if "retry_s" in r)
-    print(
-        f"# {len(rows)} poses, {n_retry} needed the lossless retry; "
-        f"tuned-profile losslessness on the fitted fly-through: "
-        f"{len(rows) - n_retry}/{len(rows)}",
-        flush=True,
-    )
+    from collections import Counter
+
+    tiers_used = Counter(r["tier"] for r in rows)
+    print(f"# {len(rows)} poses; tier used: {dict(tiers_used)}", flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "scratch", "pose_sweep_chip.json")
     with open(out, "w") as f:
