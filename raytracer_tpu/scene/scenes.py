@@ -294,7 +294,14 @@ def config3_sponza(width: int = 1920, height: int = 1080, target_triangles=260_0
         # - NOT adopted (slower despite fewer lanes): bounce-1 queue 0.08 /
         #   0.078125 (2596 vs 2538 — 6144=48x128 lanes tiles better; queue
         #   width is not lane-count-monotone), any-ladder tail trim
-        #   (1/320,72), chunk_checkpoint=False.
+        #   (1/320,72).
+        # - chunk_checkpoint STAYS ON: grad-only programs measure the remat at
+        #   43 ms/step (2278 vs 2235, bwd_parts_final), but the bench's
+        #   value_and_grad-with-aux program compiled WITHOUT the checkpoint
+        #   regressed to 44 s/step (20x — scratch/bench_r5_live5.log;
+        #   unbounded per-chunk residual liveness evidently drives the
+        #   scheduler into an activation-spill regime on this program shape).
+        #   The checkpoint's memory bound is load-bearing, not optional.
         width=width, height=height, num_bounces=3,
         queue_factor=(0.09375, 0.0625, 0.046875), scan_bounces=False,
         mesh_accelerator=accelerator,
